@@ -1,0 +1,161 @@
+"""Tile binning: AABB footprint -> padded duplication -> lexicographic sort.
+
+TPU-native replacement for the reference's dynamic-shape CUB pipeline
+(gs/src/include/aabb_culling.h:15-260 + gs/culling.py:9-37 in
+gsgen3d/gsgen).  Design deltas, all driven by XLA's static-shape
+requirement and by what the Pallas kernels need:
+
+* The reference computes the exact duplicate count ``N_with_dub`` with a
+  host sync (gs/culling.py:34 ``.item()``) and allocates per frame.  We
+  use a **static capacity** ``cap``; duplicate slots are materialized by
+  the classic vectorized-repeat trick (exclusive-cumsum + searchsorted)
+  and slots beyond ``cap`` are dropped (monitored via the returned
+  ``total`` so the host can pick a bigger bucket).
+* The CUB 64-bit radix sort over ``tile_id << 32 | depth_bits`` keys
+  (aabb_culling.h:162-168) becomes a stable two-key ``lax.sort`` —
+  identical ordering semantics including tie-breaking by generation
+  order.
+* Per-tile segments are **aligned to the kernel chunk size**: every
+  tile's segment starts at a multiple of ``chunk``.  This makes every
+  forward DMA aligned and — crucial for the backward pass — gives each
+  tile exclusive ownership of whole chunks of the gradient buffer, so
+  gradient writes need no atomics and cannot clobber a neighbor tile.
+
+Everything here is index math (no gradients); callers gather features
+with the returned ``padded_gid`` (the gather IS differentiable and its
+autodiff transpose performs the deterministic scatter-add of gradients
+back onto Gaussians).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class BinnedTiles(NamedTuple):
+    """Static-shape tile binning result.
+
+    padded_gid: [cap_padded] int32 — Gaussian id per duplicate slot, laid
+        out so tile ``t`` owns rows ``[starts[t], starts[t] + counts[t])``
+        and ``starts[t]`` is chunk-aligned.  Padding rows contain 0 (an
+        arbitrary valid id) but are outside every ``[start, end)`` range.
+    row_valid: [cap_padded] bool — True for rows holding a real duplicate.
+    starts:   [n_tiles] int32 — chunk-aligned segment starts.
+    ends:     [n_tiles] int32 — starts + per-tile duplicate count.
+    total:    [] int32 — exact number of duplicates before capacity drop
+        (the reference's N_with_dub; compare against ``cap`` to detect
+        overflow).
+    """
+
+    padded_gid: jax.Array
+    row_valid: jax.Array
+    starts: jax.Array
+    ends: jax.Array
+    total: jax.Array
+
+
+def tile_aabbs(
+    mean2d: jax.Array,
+    cov2d: jax.Array,
+    fx, fy, cx, cy,
+    w: int, h: int,
+    tile_size: int,
+    tile_culling_radius: float = 6.0,
+):
+    """Per-Gaussian inclusive tile-space AABB (tl_x, tl_y, br_x, br_y).
+
+    Matches tile_culling_aabb_count (gs/culling.py:9-37): half extents
+    ``sqrt(D * cov_ii)`` in camera-plane units, converted to pixels,
+    clamped to the image, then floor-divided by tile_size.
+    """
+    hx = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 0, 0], 0.0))
+    hy = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 1, 1], 0.0))
+    tl_px = ((mean2d[..., 0] - hx) * fx + cx).astype(jnp.int32)
+    tl_py = ((mean2d[..., 1] - hy) * fy + cy).astype(jnp.int32)
+    br_px = ((mean2d[..., 0] + hx) * fx + cx).astype(jnp.int32)
+    br_py = ((mean2d[..., 1] + hy) * fy + cy).astype(jnp.int32)
+    tl_x = jnp.clip(tl_px, 0, w - 1) // tile_size
+    tl_y = jnp.clip(tl_py, 0, h - 1) // tile_size
+    br_x = jnp.clip(br_px, 0, w - 1) // tile_size
+    br_y = jnp.clip(br_py, 0, h - 1) // tile_size
+    return tl_x, tl_y, br_x, br_y
+
+
+def bin_gaussians(
+    mean2d: jax.Array,        # [N, 2]
+    cov2d: jax.Array,         # [N, 2, 2]
+    depth: jax.Array,         # [N]
+    active: jax.Array,        # [N] bool (frustum cull & in_front & alive)
+    fx, fy, cx, cy,           # dynamic intrinsics scalars
+    w: int, h: int,           # static image size
+    tile_size: int,           # static
+    cap: int,                 # static duplicate capacity (pre-alignment)
+    chunk: int = 256,         # static kernel chunk size (segment alignment)
+    tile_culling_radius: float = 6.0,
+) -> BinnedTiles:
+    """Bin Gaussians into chunk-aligned, depth-sorted per-tile segments."""
+    n_tiles_w = -(-w // tile_size)
+    n_tiles_h = -(-h // tile_size)
+    n_tiles = n_tiles_w * n_tiles_h
+    cap_padded = cap + n_tiles * chunk
+
+    tl_x, tl_y, br_x, br_y = tile_aabbs(
+        mean2d, cov2d, fx, fy, cx, cy, w, h, tile_size, tile_culling_radius)
+
+    width = br_x - tl_x + 1
+    height = br_y - tl_y + 1
+    counts = jnp.where(active, width * height, 0).astype(jnp.int32)
+
+    # vectorized repeat: slot d belongs to gaussian g with
+    # cum_excl[g] <= d < cum_excl[g] + counts[g]
+    cum = jnp.cumsum(counts)
+    total = cum[-1] if counts.size else jnp.int32(0)
+    cum_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
+
+    d = jnp.arange(cap, dtype=jnp.int32)
+    gid = jnp.searchsorted(cum, d, side="right").astype(jnp.int32)
+    slot_valid = d < total
+    gid_safe = jnp.clip(gid, 0, counts.shape[0] - 1)
+
+    local = d - cum_excl[gid_safe]
+    gw = width[gid_safe]
+    dy = local // gw
+    dx = local - dy * gw
+    tile = (tl_y[gid_safe] + dy) * n_tiles_w + (tl_x[gid_safe] + dx)
+
+    # sort keys: (tile, depth), stable — invalid slots to sentinel tile
+    tile_key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)
+    depth_key = jnp.where(slot_valid, depth[gid_safe], jnp.inf)
+    tile_s, _, gid_s = jax.lax.sort(
+        (tile_key, depth_key, gid_safe), num_keys=2, is_stable=True)
+
+    # compact per-tile segments
+    tix = jnp.arange(n_tiles, dtype=jnp.int32)
+    start_c = jnp.searchsorted(tile_s, tix, side="left").astype(jnp.int32)
+    end_c = jnp.searchsorted(tile_s, tix, side="right").astype(jnp.int32)
+    seg_len = end_c - start_c
+
+    # chunk-aligned layout
+    aligned_len = ((seg_len + chunk - 1) // chunk) * chunk
+    aligned_start = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_len)[:-1]])
+    starts = aligned_start
+    ends = aligned_start + seg_len
+
+    # scatter sorted gids into the aligned layout
+    j = jnp.arange(cap, dtype=jnp.int32)
+    in_seg = tile_s < n_tiles
+    tile_s_safe = jnp.clip(tile_s, 0, n_tiles - 1)
+    pos = aligned_start[tile_s_safe] + (j - start_c[tile_s_safe])
+    pos = jnp.where(in_seg, pos, cap_padded)  # out-of-bounds -> dropped
+
+    padded_gid = jnp.zeros((cap_padded,), jnp.int32).at[pos].set(
+        gid_s, mode="drop")
+    row_valid = jnp.zeros((cap_padded,), jnp.bool_).at[pos].set(
+        True, mode="drop")
+
+    return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
+                       starts=starts, ends=ends, total=total)

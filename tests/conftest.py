@@ -1,0 +1,17 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+Must set the env vars BEFORE jax is imported anywhere, so this file
+avoids importing jax at module scope until after os.environ is set.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
