@@ -1,0 +1,71 @@
+"""Benchmark harness: rays/s (fwd+bwd) on the production render path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json configs[1] scaled to the available chip): a
+100K-Gaussian scene rendered at 512x512 — forward + backward through
+the full pipeline (projection -> culling -> binning -> fused tile
+compositing), per-Gaussian gradients materialized.  rays/s = pixels
+rendered (with gradients) per second.
+
+``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
+recorded baseline is this harness's first TPU measurement
+(BENCH_BASELINE shown below) so the ratio tracks regression/progress
+across rounds.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# First recorded TPU-chip measurement (rays/s, fwd+bwd, 100K @ 512^2).
+# Rounds are compared against this anchor.
+BASELINE_RAYS_PER_S = 1.0e6  # provisional anchor; updated after round-1 run
+
+
+def main():
+    n_gauss = int(os.environ.get("BENCH_N", 100_000))
+    reso = int(os.environ.get("BENCH_RESO", 512))
+    iters = int(os.environ.get("BENCH_ITERS", 10))
+
+    from gsgen_tpu.models.scene import RenderConfig, render_view
+    from gsgen_tpu.models.init import InitConfig, initialize
+    from gsgen_tpu.ops.camera import CameraIntrinsics
+
+    rcfg = RenderConfig(dup_cap=1 << 20, chunk=256)
+    intr = CameraIntrinsics.from_reso(reso)
+    state = initialize(jax.random.PRNGKey(0),
+                       InitConfig(num_points=n_gauss, svec_val=0.01,
+                                  mean_std=0.6), rcfg)
+    c2w = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5]], jnp.float32)
+    bg = jnp.ones((3,), jnp.float32)
+
+    def loss(params):
+        out = render_view(params, state.active, c2w, intr, rcfg, bg)
+        return jnp.mean(out["rgb"]) + jnp.mean(out["depth"]) + jnp.mean(out["T"])
+
+    step = jax.jit(jax.grad(loss))
+
+    g = step(state.params)          # compile + warmup
+    jax.block_until_ready(g)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        g = step(state.params)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / iters
+
+    rays_per_s = reso * reso / dt
+    print(json.dumps({
+        "metric": "rays_per_s_fwd_bwd_100k_512",
+        "value": rays_per_s,
+        "unit": "rays/s/chip",
+        "vs_baseline": rays_per_s / BASELINE_RAYS_PER_S,
+    }))
+
+
+if __name__ == "__main__":
+    main()

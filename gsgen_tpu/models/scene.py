@@ -1,0 +1,219 @@
+"""Gaussian-splatting scene model: parameter pytree + functional renderer.
+
+TPU-native re-design of the reference ``GaussianSplattingRenderer``
+(gs/gaussian_splatting.py:68-1600 in gsgen3d/gsgen).  Differences
+demanded by JAX/XLA:
+
+* Parameters are a **pytree of raw (pre-activation) arrays** with a
+  static capacity ``M``; the live Gaussian set is an ``active`` boolean
+  mask (the reference mutates ``nn.Parameter`` sizes during
+  densify/prune — here densify writes into padding slots, see
+  ``gsgen_tpu.models.density``).
+* Rendering is a pure function ``render_view(params, active, c2w, ...)``
+  — no module state; batching is ``vmap`` over cameras.
+* All channels (rgb, depth, z², transmittance) composite in ONE fused
+  rasterizer pass instead of the reference's 4 kernel launches
+  (gs/gaussian_splatting.py:1304-1403); ``opacity = 1 - T`` and
+  ``z_var = E[z²] − E[z]²`` (HiFA, gs/gaussian_splatting.py:1399) fall
+  out for free.
+
+Field semantics match the reference exactly: ``mean`` [M,3] world
+position, ``qvec`` [M,4] wxyz rotation, ``svec`` [M,3] scale
+(``exp``-activated by default), ``color`` [M,3] (sigmoid), ``alpha``
+[M] opacity (sigmoid) — conf/base.yaml:141-143.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.binning import bin_gaussians
+from ..ops.camera import CameraIntrinsics, get_frustum, sphere_in_frustum
+from ..ops.projection import (conic_from_cov2d, project_gaussians,
+                              screen_radii)
+from ..ops.rasterize import rasterize_tiles
+from ..utils.activations import act, inv_act
+
+
+class GaussianParams(NamedTuple):
+    """Learnable raw fields (pre-activation), capacity-padded to [M]."""
+
+    mean: jax.Array   # [M, 3]
+    qvec: jax.Array   # [M, 4] wxyz
+    svec: jax.Array   # [M, 3] raw scale
+    color: jax.Array  # [M, 3] raw color
+    alpha: jax.Array  # [M]    raw opacity
+
+
+class SceneState(NamedTuple):
+    """Full (non-learnable-included) scene state."""
+
+    params: GaussianParams
+    active: jax.Array        # [M] bool
+    max_radii2d: jax.Array   # [M] screen-radius running max (prune stat)
+    grad_accum: jax.Array    # [M] accumulated ||d loss/d mean2d|| (densify stat)
+    grad_cnt: jax.Array      # [M] number of views the Gaussian was visible in
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static renderer configuration (hashable, jit-safe).
+
+    Defaults mirror conf/base.yaml:131-143 of the reference.
+    """
+
+    tile_size: int = 16
+    frustum_culling_radius: float = 6.0
+    tile_culling_radius: float = 6.0
+    T_thresh: float = 1e-4
+    svec_act: str = "exp"
+    alpha_act: str = "sigmoid"
+    color_act: str = "sigmoid"
+    depth_detach: bool = True
+    dup_cap: int = 1 << 18      # static duplicate capacity (MAX_DUP)
+    chunk: int = 256            # rasterizer chunk (streaming granularity)
+    near: float = 1e-3
+
+
+def activate(params: GaussianParams, cfg: RenderConfig):
+    """Raw params -> physical (mean, qvec, svec, color, alpha)."""
+    return (params.mean, params.qvec,
+            act(cfg.svec_act)(params.svec),
+            act(cfg.color_act)(params.color),
+            act(cfg.alpha_act)(params.alpha))
+
+
+def make_scene(mean, qvec, svec, color, alpha, cfg: RenderConfig,
+               capacity: Optional[int] = None, raw: bool = False) -> SceneState:
+    """Build a SceneState from physical (or raw) initial values, padding
+    to ``capacity`` (reference initialize(), gs/gaussian_splatting.py:171-196)."""
+    n = mean.shape[0]
+    m = capacity or n
+    assert m >= n
+    if not raw:
+        svec = inv_act(cfg.svec_act)(svec)
+        color = inv_act(cfg.color_act)(color)
+        alpha = inv_act(cfg.alpha_act)(alpha)
+
+    def pad(x, fill=0.0):
+        return jnp.concatenate(
+            [x, jnp.full((m - n,) + x.shape[1:], fill, x.dtype)], axis=0)
+
+    params = GaussianParams(
+        mean=pad(mean.astype(jnp.float32)),
+        qvec=pad(qvec.astype(jnp.float32)).at[n:, 0].set(1.0),
+        svec=pad(svec.astype(jnp.float32),
+                 fill=float(inv_act(cfg.svec_act)(jnp.asarray(1e-4)))),
+        color=pad(color.astype(jnp.float32)),
+        alpha=pad(alpha.astype(jnp.float32), fill=-10.0),
+    )
+    active = jnp.arange(m) < n
+    zeros = jnp.zeros((m,), jnp.float32)
+    return SceneState(params=params, active=active, max_radii2d=zeros,
+                      grad_accum=zeros, grad_cnt=zeros)
+
+
+def num_active(state: SceneState) -> jax.Array:
+    return jnp.sum(state.active.astype(jnp.int32))
+
+
+def render_view(
+    params: GaussianParams,
+    active: jax.Array,
+    c2w: jax.Array,              # [3, 4]
+    intr: CameraIntrinsics,      # static (shapes)
+    cfg: RenderConfig,
+    bg: jax.Array,               # [3] or [H, W, 3]
+    fx=None, fy=None, cx=None, cy=None,  # dynamic intrinsics (default intr)
+    rgb_only: bool = False,
+    mean2d_tap: Optional[jax.Array] = None,  # [M, 2] zeros; grad tap for densify
+) -> Dict[str, jax.Array]:
+    """Render one view.  The TPU analog of render_one
+    (gs/gaussian_splatting.py:1198-1420).
+
+    Returns dict with ``rgb`` [H,W,3] (+ ``depth``, ``opacity``,
+    ``z_var``, ``T``, ``radii2d``, ``visible`` unless ``rgb_only``).
+    """
+    fx = intr.fx if fx is None else fx
+    fy = intr.fy if fy is None else fy
+    cx = intr.cx if cx is None else cx
+    cy = intr.cy if cy is None else cy
+
+    mean, qvec, svec, color, alpha = activate(params, cfg)
+
+    # frustum culling (culling.h:11-34 semantics)
+    normals, pts = get_frustum(c2w, intr)
+    radii = jnp.max(svec, axis=-1) * cfg.frustum_culling_radius
+    cull = sphere_in_frustum(mean, radii, normals, pts)
+
+    proj = project_gaussians(mean, qvec, svec, c2w,
+                             detach_depth=cfg.depth_detach, near=cfg.near)
+    vis = active & cull & proj.in_front
+
+    mean2d = proj.mean2d
+    if mean2d_tap is not None:
+        mean2d = mean2d + mean2d_tap
+
+    conic, _ = conic_from_cov2d(proj.cov2d)
+    bins = bin_gaussians(
+        jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(proj.cov2d),
+        jax.lax.stop_gradient(proj.depth), vis,
+        fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
+        chunk=cfg.chunk, tile_culling_radius=cfg.tile_culling_radius)
+
+    if rgb_only:
+        feats = color
+    else:
+        feats = jnp.concatenate(
+            [color, proj.depth[:, None], (proj.depth * proj.depth)[:, None]],
+            axis=-1)
+
+    topleft = (-cx / fx, -cy / fy)
+    psz = (1.0 / fx, 1.0 / fy)
+    img, T = rasterize_tiles(
+        mean2d, conic, alpha, feats, bins, topleft, psz,
+        w=intr.w, h=intr.h, tile_size=cfg.tile_size, chunk=cfg.chunk,
+        T_thresh=cfg.T_thresh)
+
+    if bg.ndim == 1:
+        bg = bg[None, None, :]
+    rgb = img[..., :3] + T[..., None] * bg
+
+    out = {"rgb": rgb, "T": T, "n_dup": bins.total}
+    if not rgb_only:
+        depth = img[..., 3]
+        z2 = img[..., 4]
+        out.update(
+            depth=depth,
+            opacity=1.0 - T,
+            z_var=z2 - depth * depth,
+            radii2d=jnp.where(vis, screen_radii(proj.cov2d), 0.0),
+            visible=vis,
+        )
+    return out
+
+
+def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
+                 cxs=None, cys=None, rgb_only=False, mean2d_taps=None):
+    """vmap of :func:`render_view` over a batch of cameras.
+
+    c2ws [B,3,4]; bgs [B,3] or [B,H,W,3]; optional per-sample dynamic
+    intrinsics [B] (reference CameraPoseProvider samples per-view focal,
+    data/__init__.py:151-230).
+    """
+    fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view(
+        params, active, c2w, intr, cfg, bg, fx, fy, cx, cy,
+        rgb_only=rgb_only, mean2d_tap=tap)
+    B = c2ws.shape[0]
+    ones = jnp.ones((B,), jnp.float32)
+    fxs = ones * intr.fx if fxs is None else fxs
+    fys = ones * intr.fy if fys is None else fys
+    cxs = ones * intr.cx if cxs is None else cxs
+    cys = ones * intr.cy if cys is None else cys
+    taps = (jnp.zeros((B,) + params.mean.shape[:1] + (2,), jnp.float32)
+            if mean2d_taps is None else mean2d_taps)
+    return jax.vmap(fn)(c2ws, bgs, fxs, fys, cxs, cys, taps)

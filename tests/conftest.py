@@ -6,7 +6,11 @@ avoids importing jax at module scope until after os.environ is set.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the driver environment presets JAX_PLATFORMS=axon (one real
+# TPU chip via a tunnel) — unit tests want the 8-device virtual CPU mesh.
+# Set GSGEN_TEST_TPU=1 to run the suite on the real chip instead.
+if not os.environ.get("GSGEN_TEST_TPU"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
