@@ -22,9 +22,10 @@ import time
 import jax
 import jax.numpy as jnp
 
-# First recorded TPU-chip measurement (rays/s, fwd+bwd, 100K @ 512^2).
-# Rounds are compared against this anchor.
-BASELINE_RAYS_PER_S = 1.0e6  # provisional anchor; updated after round-1 run
+# First recorded TPU-chip measurement (rays/s, fwd+bwd, 100K @ 512^2,
+# XLA-backend rasterizer, TPU v5e chip, round 1).  Rounds are compared
+# against this anchor.
+BASELINE_RAYS_PER_S = 446_977.0
 
 
 def main():

@@ -33,9 +33,11 @@ import jax.numpy as jnp
 
 from ..ops.binning import bin_gaussians
 from ..ops.camera import CameraIntrinsics, get_frustum, sphere_in_frustum
+from ..ops.pallas_raster import rasterize_tiles_pallas
 from ..ops.projection import (conic_from_cov2d, project_gaussians,
                               screen_radii)
 from ..ops.rasterize import rasterize_tiles
+from ..ops.sh import eval_sh_color
 from ..utils.activations import act, inv_act
 
 
@@ -77,6 +79,9 @@ class RenderConfig:
     dup_cap: int = 1 << 18      # static duplicate capacity (MAX_DUP)
     chunk: int = 256            # rasterizer chunk (streaming granularity)
     near: float = 1e-3
+    backend: str = "auto"       # auto | pallas (TPU kernels) | xla (pure scan)
+    sh_degree: int = 0          # 0 = per-Gaussian RGB; >0 = SH bands
+                                # (SHRenderer parity, gs/sh_renderer.py:38)
 
 
 def activate(params: GaussianParams, cfg: RenderConfig):
@@ -144,6 +149,17 @@ def render_view(
     cy = intr.cy if cy is None else cy
 
     mean, qvec, svec, color, alpha = activate(params, cfg)
+    if cfg.sh_degree > 0:
+        # view-dependent color: sigmoid(sum coeffs * Y(dir)) with dir from
+        # camera to Gaussian center.  The reference SH kernel evaluates the
+        # direction once per tile (vol_render_sh.h:48-65); per-Gaussian
+        # directions are strictly more accurate and cost one fused matmul.
+        K = cfg.sh_degree ** 2
+        coeffs = params.color.reshape(params.color.shape[0], 3, K)
+        dirs = mean - c2w[:3, 3][None, :]
+        dirs = dirs / jnp.maximum(
+            jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
+        color = eval_sh_color(coeffs, dirs)
 
     # frustum culling (culling.h:11-34 semantics)
     normals, pts = get_frustum(c2w, intr)
@@ -174,7 +190,11 @@ def render_view(
 
     topleft = (-cx / fx, -cy / fy)
     psz = (1.0 / fx, 1.0 / fy)
-    img, T = rasterize_tiles(
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    raster = rasterize_tiles_pallas if backend == "pallas" else rasterize_tiles
+    img, T = raster(
         mean2d, conic, alpha, feats, bins, topleft, psz,
         w=intr.w, h=intr.h, tile_size=cfg.tile_size, chunk=cfg.chunk,
         T_thresh=cfg.T_thresh)

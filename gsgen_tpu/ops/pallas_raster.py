@@ -1,0 +1,426 @@
+"""Pallas TPU kernels: fused tile compositing, forward + backward.
+
+The performance path — the TPU equivalent of the reference CUDA
+extension's compositing kernels (gs/src/include/vol_render.h +
+vol_render_scalar.h in gsgen3d/gsgen).  Semantics are identical to
+:mod:`gsgen_tpu.ops.rasterize` (the XLA backend) and the dense oracle;
+the kernel replaces the CUDA design like so:
+
+* one CUDA block per tile -> one (sequentially pipelined) grid step per
+  tile; 256 threads -> [P=tile², K=chunk] VPU vectors,
+* 48 KB shared-memory streaming (``carry``, vol_render.h:441-467) ->
+  double-buffered async DMA of chunk slices from HBM,
+* per-pixel sequential compositing -> exclusive cumprod over the chunk
+  axis (Hillis-Steele via lane rolls; Mosaic has no native cumprod),
+* weighted feature accumulation -> one MXU matmul per chunk,
+* backward atomicAdd into global grads (vol_render.h:28-46) -> each
+  tile owns whole chunk-aligned rows of the duplicate-gradient buffer
+  (see binning.BinnedTiles), written by exclusive DMA — deterministic,
+* the ``(final − accum)/(1−αG)`` suffix trick of the CUDA backward
+  (vol_render.h:383-399) -> an in-chunk inclusive cumsum of
+  ``w·(g·feat)`` plus a running prefix, no checkpoint storage.
+
+Data layouts (chosen so no array needs lane padding in HBM):
+  dup    [16, cap]        rows: mx my ca cb cc alpha f0..f9
+  out    [n_tiles, 8, P]  rows: f0..F-1, then T at row F
+  grads  [16, cap]        same rows as dup
+
+Forward early-exits a tile when every pixel's transmittance is below
+``T_thresh``; the backward pass walks all chunks (grads of unprocessed
+Gaussians are zero and their buffer rows must still be written).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .binning import BinnedTiles
+from .oracle import ALPHA_CLAMP, DEFAULT_T_THRESH, MIN_RENDER_ALPHA
+
+D_ROWS = 16          # dup/grad row count (multiple of 8 sublanes)
+CH_OUT = 8           # output channel rows (F feats + T + pad)
+MAX_F = 8            # feats capacity (6 geometry rows + F <= 16, T slot < 8)
+
+
+def _excl_cumprod_lanes(x: jax.Array) -> jax.Array:
+    """Exclusive cumulative product along axis 1 (lanes)."""
+    K = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    sh = 1
+    while sh < K:
+        acc = acc * jnp.where(col >= sh, pltpu.roll(acc, sh, axis=1), 1.0)
+        sh *= 2
+    return jnp.where(col >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
+
+
+def _prod_lanes(x: jax.Array) -> jax.Array:
+    """Product along axis 1 (Mosaic has no reduce_prod): exp(sum(log)).
+    Inputs are (1-aG) in [0.01, 1] or exactly 1, so log is safe; the
+    ~1e-7 relative roundtrip error is far below compositing tolerances.
+    """
+    return jnp.exp(jnp.sum(jnp.log(x), axis=1, keepdims=True))
+
+
+def _incl_cumsum_lanes(x: jax.Array) -> jax.Array:
+    """Inclusive cumulative sum along axis 1 (lanes)."""
+    K = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    acc = x
+    sh = 1
+    while sh < K:
+        acc = acc + jnp.where(col >= sh, pltpu.roll(acc, sh, axis=1), 0.0)
+        sh *= 2
+    return acc
+
+
+def _chunk_weights(d, pixx, pixy, T_col, T_thresh):
+    """Shared fwd/bwd chunk math.
+
+    d: [D_ROWS, K] chunk slice; pixx/pixy: [P, 1]; T_col: [P, 1].
+    Returns (G, aG, om, T_run, processed, w) — all [P, K] — matching
+    oracle.composite_dense semantics exactly.
+    """
+    mx, my = d[0:1, :], d[1:2, :]
+    ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+    al = d[5:6, :]
+    dx = pixx - mx                       # [P, K]
+    dy = pixy - my
+    radial = ca * dx * dx + 2.0 * cb * dx * dy + cc * dy * dy
+    radial = jnp.maximum(radial, 0.0)
+    G = jnp.exp(-0.5 * radial)
+    a_cl = jnp.minimum(al, ALPHA_CLAMP)
+    aG = a_cl * G
+    aG = jnp.where(aG < MIN_RENDER_ALPHA, 0.0, aG)
+    om = 1.0 - aG
+    cp_excl = _excl_cumprod_lanes(om)
+    T_run = T_col * cp_excl
+    processed = T_run >= T_thresh
+    w = jnp.where(processed, aG * T_run, 0.0)
+    return dx, dy, radial, G, a_cl, aG, om, T_run, processed, w
+
+
+def _pix_coords(t, geom_ref, tile_size, n_tiles_w):
+    """Camera-plane coordinates of this tile's pixels, as [P, 1] columns."""
+    P = tile_size * tile_size
+    ty = t // n_tiles_w
+    tx = t - ty * n_tiles_w
+    pid = jax.lax.broadcasted_iota(jnp.int32, (P, 1), 0)
+    px = (pid % tile_size) + tx * tile_size       # global pixel x
+    py = (pid // tile_size) + ty * tile_size
+    tlx, tly = geom_ref[0], geom_ref[1]
+    psx, psy = geom_ref[2], geom_ref[3]
+    pixx = tlx + px.astype(jnp.float32) * psx
+    pixy = tly + py.astype(jnp.float32) * psy
+    return pixx, pixy
+
+
+def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
+                buf, sem, *, tile_size, n_tiles_w, K, F, T_thresh):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nck = nchunks_ref[t]
+    P = tile_size * tile_size
+    pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
+
+    def dma(slot, i):
+        idx = pl.multiple_of(start + i * K, K)
+        return pltpu.make_async_copy(dup_ref.at[:, pl.ds(idx, K)],
+                                     buf.at[slot], sem.at[slot])
+
+    @pl.when(nck > 0)
+    def _():
+        dma(0, 0).start()
+
+    def cond(c):
+        i, T_col, acc = c
+        return (i < nck) & (jnp.max(T_col) >= T_thresh)
+
+    def body(c):
+        i, T_col, acc = c
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            dma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        dma(slot, i).wait()
+        d = buf[slot]                                    # [D_ROWS, K]
+        (_, _, _, _, _, _, om, _, processed, w) = _chunk_weights(
+            d, pixx, pixy, T_col, T_thresh)
+        fe = d[6:6 + F, :]                               # [F, K]
+        # acc[F, P] += fe @ w^T   (contraction over K on the MXU)
+        acc = acc + jax.lax.dot_general(
+            fe, w, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
+        return i + 1, T_col, acc
+
+    T0 = jnp.ones((P, 1), jnp.float32)
+    acc0 = jnp.zeros((F, P), jnp.float32)
+    _, T_col, acc = jax.lax.while_loop(cond, body, (jnp.int32(0), T0, acc0))
+
+    out_ref[0, 0:F, :] = acc
+    out_ref[0, F:F + 1, :] = jnp.transpose(T_col)        # [1, P]
+    if F + 1 < CH_OUT:
+        out_ref[0, F + 1:, :] = jnp.zeros((CH_OUT - F - 1, P), jnp.float32)
+
+
+def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
+                grad_ref, buf, dbuf, sem, wsem,
+                *, tile_size, n_tiles_w, K, F, T_thresh):
+    t = pl.program_id(0)
+    start = starts_ref[t]
+    nck = nchunks_ref[t]
+    P = tile_size * tile_size
+    pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
+
+    g_all = g_ref[0]                                 # [CH_OUT, P]
+    o_all = out_ref[0]
+    gfe = g_all[0:F, :]                              # [F, P] cotangent of feats
+    # dot(g, final_feats) and g_T * T_final, per pixel, as [P, 1] columns
+    dotfinal_row = jnp.sum(gfe * o_all[0:F, :], axis=0, keepdims=True)
+    gT_Tf_row = g_all[F:F + 1, :] * o_all[F:F + 1, :]
+    two = jnp.concatenate([dotfinal_row, gT_Tf_row], axis=0)  # [2, P]
+    twoT = jnp.transpose(two)                        # [P, 2]
+    dotfinal = twoT[:, 0:1]
+    gT_Tf = twoT[:, 1:2]
+
+    def rdma(slot, i):
+        idx = pl.multiple_of(start + i * K, K)
+        return pltpu.make_async_copy(dup_ref.at[:, pl.ds(idx, K)],
+                                     buf.at[slot], sem.at[slot])
+
+    def wdma(slot, i):
+        idx = pl.multiple_of(start + i * K, K)
+        return pltpu.make_async_copy(dbuf.at[slot],
+                                     grad_ref.at[:, pl.ds(idx, K)],
+                                     wsem.at[slot])
+
+    @pl.when(nck > 0)
+    def _():
+        rdma(0, 0).start()
+
+    def body(i, c):
+        T_col, Sdot = c
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < nck)
+        def _():
+            rdma(jax.lax.rem(i + 1, 2), i + 1).start()
+
+        rdma(slot, i).wait()
+        # previous write from this slot must have landed before reuse
+        @pl.when(i >= 2)
+        def _():
+            wdma(slot, i - 2).wait()
+
+        d = buf[slot]
+        (dx, dy, radial, G, a_cl, aG, om, T_run, processed, w) = \
+            _chunk_weights(d, pixx, pixy, T_col, T_thresh)
+        fe = d[6:6 + F, :]
+        al = d[5:6, :]
+
+        # gof[p,k] = sum_f g[f,p] fe[f,k]
+        gof = jax.lax.dot_general(
+            gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [P, K]
+        e = w * gof
+        accum_dot = Sdot + _incl_cumsum_lanes(e)         # dot(g, accum thru k)
+        suffix = dotfinal - accum_dot
+        # d loss / d aG (vol_render.h:383-399 trick, fully vectorized)
+        om_safe = jnp.maximum(om, 1e-6)
+        daG = jnp.where(processed & (aG > 0.0),
+                        gof * T_run - (suffix + gT_Tf) / om_safe,
+                        0.0)
+
+        # chain rule to per-duplicate grads (reductions over pixels)
+        dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
+            * (al < ALPHA_CLAMP)                          # [1, K]
+        dG = daG * a_cl
+        dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
+        ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+        dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
+                      axis=0, keepdims=True)
+        dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
+                      axis=0, keepdims=True)
+        dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
+        dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
+        dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
+        dfe = jax.lax.dot_general(
+            gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [F, K]
+
+        dbuf[slot, 0:1, :] = dmx
+        dbuf[slot, 1:2, :] = dmy
+        dbuf[slot, 2:3, :] = dca
+        dbuf[slot, 3:4, :] = dcb
+        dbuf[slot, 4:5, :] = dcc
+        dbuf[slot, 5:6, :] = dalpha
+        dbuf[slot, 6:6 + F, :] = dfe
+        if 6 + F < D_ROWS:
+            dbuf[slot, 6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K), jnp.float32)
+        wdma(slot, i).start()
+
+        T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
+        Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
+        return T_col, Sdot
+
+    T0 = jnp.ones((P, 1), jnp.float32)
+    S0 = jnp.zeros((P, 1), jnp.float32)
+    jax.lax.fori_loop(0, nck, body, (T0, S0))
+
+    # drain outstanding writes
+    @pl.when(nck >= 2)
+    def _():
+        wdma(jax.lax.rem(nck - 2, 2), nck - 2).wait()
+
+    @pl.when(nck >= 1)
+    def _():
+        wdma(jax.lax.rem(nck - 1, 2), nck - 1).wait()
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
+               cap: int, T_thresh: float, interpret: bool):
+    """Build the custom_vjp'd kernel pair for one static configuration."""
+    P = tile_size * tile_size
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile_size=tile_size,
+                          n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # geom [4]
+                pl.BlockSpec(memory_space=pl.ANY),       # dup [16, cap]
+            ],
+            out_specs=pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, CH_OUT, P), jnp.float32),
+        interpret=interpret,
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel, tile_size=tile_size,
+                          n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
+                pl.BlockSpec(memory_space=pl.ANY),       # dup
+                pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),   # fwd out
+                pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),   # cotangent
+            ],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads [16, cap]
+            scratch_shapes=[
+                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
+                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )
+
+    @jax.custom_vjp
+    def core(dup, starts, nchunks, geom):
+        return fwd_call(starts, nchunks, geom, dup)
+
+    def core_fwd(dup, starts, nchunks, geom):
+        out = fwd_call(starts, nchunks, geom, dup)
+        return out, (dup, starts, nchunks, geom, out)
+
+    def core_bwd(res, g):
+        dup, starts, nchunks, geom, out = res
+        dgrad = bwd_call(starts, nchunks, geom, dup, out, g)
+        # rows beyond the last tile's aligned segment are never written by
+        # any chunk DMA — mask them (uninitialized memory must not reach
+        # the scatter-add back onto Gaussians)
+        total = starts[-1] + nchunks[-1] * K
+        row = jnp.arange(cap, dtype=jnp.int32)
+        dgrad = jnp.where((row < total)[None, :], dgrad, 0.0)
+        return dgrad, None, None, None
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
+def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int):
+    """Gather per-duplicate rows into the [16, cap] kernel layout.
+
+    Differentiable; its autodiff transpose is the deterministic
+    scatter-add of duplicate grads back onto Gaussians.
+    """
+    F = feats.shape[-1]
+    assert F <= MAX_F
+    al = jnp.where(valid, alpha[gid], 0.0)
+    rows = [mean2d[gid, 0], mean2d[gid, 1],
+            conic[gid, 0], conic[gid, 1], conic[gid, 2], al]
+    rows += [feats[gid, i] for i in range(F)]
+    d = jnp.stack(rows, axis=0)
+    return jnp.concatenate(
+        [d, jnp.zeros((D_ROWS - d.shape[0], cap), jnp.float32)], axis=0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("w", "h", "tile_size", "chunk", "T_thresh", "interpret"))
+def rasterize_tiles_pallas(
+    mean2d: jax.Array,
+    conic: jax.Array,
+    alpha: jax.Array,
+    feats: jax.Array,
+    bins: BinnedTiles,
+    topleft: Tuple,
+    pixel_size: Tuple,
+    *,
+    w: int, h: int, tile_size: int, chunk: int,
+    T_thresh: float = DEFAULT_T_THRESH,
+    interpret: bool = False,
+) -> Tuple[jax.Array, jax.Array]:
+    """Drop-in replacement for :func:`gsgen_tpu.ops.rasterize.rasterize_tiles`
+    backed by the Pallas kernels.  Returns (img [H, W, F], T [H, W])."""
+    n_tiles_w = -(-w // tile_size)
+    n_tiles_h = -(-h // tile_size)
+    n_tiles = n_tiles_w * n_tiles_h
+    P = tile_size * tile_size
+    F = feats.shape[-1]
+    cap = bins.padded_gid.shape[0]
+    assert cap % chunk == 0
+
+    dup = pack_dup(mean2d, conic, alpha, feats, bins.padded_gid,
+                   bins.row_valid, cap)
+    counts = bins.ends - bins.starts
+    nchunks = (counts + chunk - 1) // chunk
+    geom = jnp.stack([jnp.float32(topleft[0]), jnp.float32(topleft[1]),
+                      jnp.float32(pixel_size[0]), jnp.float32(pixel_size[1])])
+
+    core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
+                      float(T_thresh), interpret)
+    out = core(dup, bins.starts.astype(jnp.int32),
+               nchunks.astype(jnp.int32), geom)        # [n_tiles, 8, P]
+
+    img = out[:, :F, :].reshape(n_tiles_h, n_tiles_w, F,
+                                tile_size, tile_size)
+    img = img.transpose(0, 3, 1, 4, 2).reshape(
+        n_tiles_h * tile_size, n_tiles_w * tile_size, F)[:h, :w]
+    T = out[:, F, :].reshape(n_tiles_h, n_tiles_w, tile_size, tile_size)
+    T = T.transpose(0, 2, 1, 3).reshape(
+        n_tiles_h * tile_size, n_tiles_w * tile_size)[:h, :w]
+    return img, T

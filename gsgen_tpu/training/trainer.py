@@ -67,6 +67,11 @@ class TrainerConfig:
         "alpha": {"type": "center_weighted", "value": 0.0}})
     log_period: int = 100
     save_period: int = 2000
+    eval_image_period: int = 100       # conf/base.yaml:36-42
+    eval_video_period: int = 500
+    eval_elevation: float = 45.0
+    eval_n_frames: int = 30
+    eval_camera_distance: float = 2.5
 
 
 class TrainState(NamedTuple):
@@ -115,6 +120,15 @@ class Trainer:
         self._step_cache: Dict[Any, Callable] = {}
         self._densify_jit = jax.jit(densify, static_argnames=("cfg", "rcfg"))
         self._prune_jit = jax.jit(prune, static_argnames=("cfg", "rcfg"))
+
+    def load(self, ckpt_path: str) -> int:
+        """Resume from a checkpoint written by ``fit`` (reference
+        Trainer.load, trainer.py:232-253: rebuild from cfg then restore
+        raw params).  Build this Trainer with the same configs first;
+        the current state acts as the shape template."""
+        from ..io.checkpoint import load_checkpoint
+        self.state, step = load_checkpoint(ckpt_path, self.state)
+        return step
 
     # ---- schedules (host side) ----
     def sched_scalars(self, step: int) -> Dict[str, float]:
@@ -304,14 +318,38 @@ class Trainer:
         """The train loop (trainer.py:576-621)."""
         n = n_steps or self.cfg.max_steps
         start = int(self.state.step)
+        eval_rng = np.random.default_rng(self.cfg.seed + 1)
         for step in range(start, start + n):
             metrics = self.train_step(step)
             dinfo = self.density_step(step)
             if callback is not None:
                 callback(step, {**metrics, **dinfo})
-            if self.logger is not None and step % self.cfg.log_period == 0:
-                m = {k: float(v) for k, v in metrics.items()
-                     if jnp.ndim(v) == 0}
-                m["num_gaussians"] = int(num_active(self.state.scene))
-                self.logger.log_scalars(step, m)
+            if self.logger is not None:
+                self._periodic_logging(step, metrics, eval_rng)
         return self.state
+
+    def _periodic_logging(self, step: int, metrics: Dict,
+                          eval_rng: np.random.Generator):
+        from .evaluation import eval_image, eval_video
+        from ..io.checkpoint import save_checkpoint
+        cfg = self.cfg
+        log = self.logger
+        if step % cfg.log_period == 0:
+            m = {k: float(v) for k, v in metrics.items() if jnp.ndim(v) == 0}
+            m["num_gaussians"] = int(num_active(self.state.scene))
+            m.update({k: float(v) for k, v in self.sched_scalars(step).items()})
+            log.log_scalars(step, m)
+        intr = self.data.intrinsics()
+        if cfg.eval_image_period and step % cfg.eval_image_period == 0:
+            img = eval_image(self.state.scene, intr, self.rcfg, eval_rng,
+                             cfg.eval_elevation, cfg.eval_camera_distance)
+            log.log_image(step, "eval/image", img)
+        if cfg.eval_video_period and step % cfg.eval_video_period == 0 \
+                and step > 0:
+            frames = eval_video(self.state.scene, intr, self.rcfg,
+                                cfg.eval_n_frames,
+                                elevation=cfg.eval_elevation,
+                                camera_distance=cfg.eval_camera_distance)
+            log.log_video(step, "eval/orbit", frames)
+        if cfg.save_period and step % cfg.save_period == 0 and step > 0:
+            save_checkpoint(log.ckpt_dir, step, self.state)

@@ -9,6 +9,9 @@ import os
 # Force CPU: the driver environment presets JAX_PLATFORMS=axon (one real
 # TPU chip via a tunnel) — unit tests want the 8-device virtual CPU mesh.
 # Set GSGEN_TEST_TPU=1 to run the suite on the real chip instead.
+# NOTE: /root/.axon_site/sitecustomize.py imports jax at interpreter
+# startup, so the env var is already consumed — the jax.config.update
+# below (after the import) is what actually takes effect.
 if not os.environ.get("GSGEN_TEST_TPU"):
     os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -18,6 +21,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+if not os.environ.get("GSGEN_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
 # Persistent compilation cache: grad-through-scan compiles are minutes on

@@ -1,0 +1,118 @@
+"""Pallas kernels (interpret mode) vs dense oracle: pixels + grads."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gsgen_tpu.ops.binning import bin_gaussians
+from gsgen_tpu.ops.oracle import composite_dense, pixel_grid
+from gsgen_tpu.ops.pallas_raster import rasterize_tiles_pallas
+from gsgen_tpu.ops.rasterize import rasterize_tiles
+
+from test_rasterize import make_scene, conic_of
+
+RES = 32
+TILE = 8
+CHUNK = 128   # lane-aligned chunk
+FX = RES / 2.0
+
+
+def setup(n=60, radius=60.0, seed=0, cap=4096, alpha_override=None):
+    key = jax.random.PRNGKey(seed)
+    mean2d, cov2d, alpha, feats, depth = make_scene(key, n)
+    if alpha_override is not None:
+        alpha = jnp.full_like(alpha, alpha_override)
+    conic = conic_of(cov2d)
+    active = jnp.ones((n,), bool)
+    fx = fy = FX
+    cx = cy = RES / 2.0
+    bins = bin_gaussians(mean2d, cov2d, depth, active, fx, fy, cx, cy,
+                         RES, RES, TILE, cap, chunk=CHUNK,
+                         tile_culling_radius=radius)
+    topleft = (-cx / fx, -cy / fy)
+    psz = (1.0 / fx, 1.0 / fy)
+
+    def pallas_fn(mean2d, conic, alpha, feats):
+        return rasterize_tiles_pallas(
+            mean2d, conic, alpha, feats, bins, topleft, psz,
+            w=RES, h=RES, tile_size=TILE, chunk=CHUNK, interpret=True)
+
+    def dense_fn(mean2d, conic, alpha, feats):
+        pix = pixel_grid(topleft, psz, RES, RES)
+        out, T = composite_dense(mean2d, conic, alpha, feats, depth,
+                                 active, pix)
+        return out.reshape(RES, RES, -1), T.reshape(RES, RES)
+
+    return (mean2d, conic, alpha, feats), pallas_fn, dense_fn, bins
+
+
+def test_pallas_forward_matches_oracle():
+    args, pallas_fn, dense_fn, bins = setup()
+    assert int(bins.total) <= 4096
+    img_p, T_p = pallas_fn(*args)
+    img_d, T_d = dense_fn(*args)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_d),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_backward_matches_oracle():
+    args, pallas_fn, dense_fn, _ = setup(n=40)
+    gimg = jax.random.normal(jax.random.PRNGKey(99), (RES, RES, 5))
+    gT = jax.random.normal(jax.random.PRNGKey(7), (RES, RES))
+
+    def loss(fn):
+        def f(mean2d, conic, alpha, feats):
+            img, T = fn(mean2d, conic, alpha, feats)
+            return jnp.sum(img * gimg) + jnp.sum(T * gT)
+        return f
+
+    g_p = jax.grad(loss(pallas_fn), argnums=(0, 1, 2, 3))(*args)
+    g_d = jax.grad(loss(dense_fn), argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["mean2d", "conic", "alpha", "feats"], g_p, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-4, err_msg=name)
+
+
+def test_pallas_early_termination():
+    args, pallas_fn, dense_fn, _ = setup(n=80, seed=3, alpha_override=0.999)
+    img_p, T_p = pallas_fn(*args)
+    img_d, T_d = dense_fn(*args)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_d),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_backward_with_early_exit_grads():
+    # opaque scene: grads behind the opaque front must be exactly zero
+    args, pallas_fn, dense_fn, _ = setup(n=50, seed=5, alpha_override=0.999)
+
+    def loss(fn):
+        def f(mean2d, conic, alpha, feats):
+            img, T = fn(mean2d, conic, alpha, feats)
+            return jnp.sum(img ** 2) + jnp.sum(T)
+        return f
+
+    g_p = jax.grad(loss(pallas_fn), argnums=(0, 1, 2, 3))(*args)
+    g_d = jax.grad(loss(dense_fn), argnums=(0, 1, 2, 3))(*args)
+    for name, a, b in zip(["mean2d", "conic", "alpha", "feats"], g_p, g_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-4, err_msg=name)
+
+
+def test_pallas_matches_xla_backend():
+    args, pallas_fn, _, bins = setup(n=100, radius=6.0, seed=11)
+    mean2d, conic, alpha, feats = args
+    topleft = (-1.0, -1.0)
+    psz = (1.0 / FX, 1.0 / FX)
+    img_x, T_x = rasterize_tiles(mean2d, conic, alpha, feats, bins,
+                                 topleft, psz, w=RES, h=RES, tile_size=TILE,
+                                 chunk=CHUNK)
+    img_p, T_p = pallas_fn(*args)
+    np.testing.assert_allclose(np.asarray(T_p), np.asarray(T_x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
+                               rtol=1e-4, atol=1e-5)
