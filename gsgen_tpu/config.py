@@ -1,0 +1,134 @@
+"""Config system: YAML tree -> typed dataclass configs -> Trainer.
+
+Replaces the reference's hydra/OmegaConf stack (conf/ tree,
+utils/misc.py C() specs — see gsgen_tpu.utils.schedule) with plain YAML
++ dataclasses: ``load_config`` reads a YAML file, applies dotted-path
+CLI overrides (``prompt.prompt="a corgi"`` — same UX as hydra,
+main.py:10-33 in gsgen3d/gsgen), and ``build_trainer`` wires every
+subsystem.  ``C()`` schedule specs pass through as lists untouched.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+from .data.cameras import CameraSamplerConfig
+from .guidance.mock import MockGuidance
+from .guidance.sds import SDSConfig, SDSGuidance
+from .models.background import BackgroundConfig
+from .models.density import DensifyConfig, PruneConfig
+from .models.init import InitConfig
+from .models.scene import RenderConfig
+from .prompt.processors import PromptProcessor, PromptProcessorConfig
+from .training.trainer import LossConfig, Trainer, TrainerConfig
+
+
+def _field_default(f: dataclasses.Field):
+    if f.default is not dataclasses.MISSING:
+        return f.default
+    if f.default_factory is not dataclasses.MISSING:
+        return f.default_factory()
+    return None
+
+
+def _from_dict(cls, d: Optional[Dict]) -> Any:
+    """Build dataclass ``cls`` from a dict, recursing into dataclass
+    fields; unknown keys are an error (catches config typos).  Lists
+    become tuples where the field default is a tuple (frozen/static
+    configs must stay hashable for jit)."""
+    d = dict(d or {})
+    fields = {f.name: f for f in dataclasses.fields(cls)}
+    unknown = set(d) - set(fields)
+    if unknown:
+        raise KeyError(f"unknown {cls.__name__} keys: {sorted(unknown)}")
+    kwargs = {}
+    for name, val in d.items():
+        default = _field_default(fields[name])
+        if dataclasses.is_dataclass(default) and isinstance(val, dict):
+            kwargs[name] = _from_dict(type(default), val)
+        elif isinstance(val, list) and isinstance(default, tuple):
+            kwargs[name] = tuple(tuple(v) if isinstance(v, list) else v
+                                 for v in val)
+        else:
+            kwargs[name] = val
+    return cls(**kwargs)
+
+
+def set_dotted(d: Dict, key: str, value):
+    parts = key.split(".")
+    cur = d
+    for p in parts[:-1]:
+        cur = cur.setdefault(p, {})
+    cur[parts[-1]] = value
+
+
+def parse_override(s: str):
+    """key=value with YAML-typed value (hydra-style CLI override)."""
+    key, _, raw = s.partition("=")
+    return key, yaml.safe_load(raw)
+
+
+def load_config(path: str | Path, overrides: Optional[List[str]] = None
+                ) -> Dict:
+    cfg = yaml.safe_load(Path(path).read_text()) or {}
+    for ov in overrides or []:
+        k, v = parse_override(ov)
+        set_dotted(cfg, k, v)
+    return cfg
+
+
+def build_trainer(cfg: Dict, logger=None) -> Trainer:
+    rcfg_d = dict(cfg.get("renderer", {}))
+    dcfg_d = rcfg_d.pop("densify", {})
+    pcfg_d = rcfg_d.pop("prune", {})
+    bg_d = rcfg_d.pop("background", {})
+    rcfg = _from_dict(RenderConfig, rcfg_d)
+    dcfg = _from_dict(DensifyConfig, dcfg_d)
+    pcfg = _from_dict(PruneConfig, pcfg_d)
+    bg_cfg = _from_dict(BackgroundConfig, bg_d)
+
+    tr_d = dict(cfg.get("trainer", {}))
+    loss_d = tr_d.pop("loss", {})
+    tcfg = _from_dict(TrainerConfig, tr_d)
+    tcfg = dataclasses.replace(tcfg, loss=_from_dict(LossConfig, loss_d))
+
+    data_d = dict(cfg.get("data", {}))
+    data_d.setdefault("batch_size", tcfg.batch_size)
+    data_d.setdefault("max_steps", tcfg.max_steps)
+    data_cfg = _from_dict(CameraSamplerConfig, data_d)
+
+    init_cfg = _from_dict(InitConfig, cfg.get("init", {}))
+
+    prompt_d = dict(cfg.get("prompt", {}))
+    g_d = dict(cfg.get("guidance", {}))
+    g_type = g_d.pop("type", "mock")
+    prompt_processor = None
+    if g_type == "mock":
+        guidance = MockGuidance(**g_d)
+    elif g_type == "sds":
+        prompt_processor = PromptProcessor(
+            _from_dict(PromptProcessorConfig, prompt_d))
+        scfg = _from_dict(SDSConfig, g_d)
+        guidance = SDSGuidance(scfg)
+    elif g_type == "vsd":
+        from .guidance.vsd import VSDConfig, VSDGuidance
+        prompt_processor = PromptProcessor(
+            _from_dict(PromptProcessorConfig, prompt_d))
+        guidance = VSDGuidance(_from_dict(VSDConfig, g_d))
+    else:
+        raise NotImplementedError(f"guidance type {g_type}")
+
+    init_points = init_colors = None
+    if init_cfg.type == "point_cloud":
+        from .priors import load_point_cloud
+        init_points, init_colors = load_point_cloud(cfg["init_asset"])
+
+    return Trainer(cfg=tcfg, rcfg=rcfg, init_cfg=init_cfg, bg_cfg=bg_cfg,
+                   data_cfg=data_cfg, guidance=guidance, dcfg=dcfg,
+                   pcfg=pcfg, init_points=init_points,
+                   init_colors=init_colors,
+                   prompt_processor=prompt_processor, logger=logger)

@@ -105,14 +105,15 @@ def make_scene(mean, qvec, svec, color, alpha, cfg: RenderConfig,
         alpha = inv_act(cfg.alpha_act)(alpha)
 
     def pad(x, fill=0.0):
-        return jnp.concatenate(
-            [x, jnp.full((m - n,) + x.shape[1:], fill, x.dtype)], axis=0)
+        filler = jnp.broadcast_to(
+            jnp.asarray(fill, x.dtype), (m - n,) + x.shape[1:])
+        return jnp.concatenate([x, filler], axis=0)
 
     params = GaussianParams(
         mean=pad(mean.astype(jnp.float32)),
         qvec=pad(qvec.astype(jnp.float32)).at[n:, 0].set(1.0),
         svec=pad(svec.astype(jnp.float32),
-                 fill=float(inv_act(cfg.svec_act)(jnp.asarray(1e-4)))),
+                 fill=inv_act(cfg.svec_act)(jnp.asarray(1e-4))),
         color=pad(color.astype(jnp.float32)),
         alpha=pad(alpha.astype(jnp.float32), fill=-10.0),
     )

@@ -110,25 +110,38 @@ def bin_gaussians(
     counts = jnp.where(active, width * height, 0).astype(jnp.int32)
 
     # vectorized repeat: slot d belongs to gaussian g with
-    # cum_excl[g] <= d < cum_excl[g] + counts[g]
+    # cum_excl[g] <= d < cum_excl[g] + counts[g].  A searchsorted here
+    # costs ~130ms at 1M slots on TPU (binary search = log N serial
+    # gathers); the scatter+cumsum below computes the same monotone map
+    # in ~3ms: gid[d] = #(cum <= d) = searchsorted(cum, d, 'right').
     cum = jnp.cumsum(counts)
     total = cum[-1] if counts.size else jnp.int32(0)
     cum_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
 
     d = jnp.arange(cap, dtype=jnp.int32)
-    gid = jnp.searchsorted(cum, d, side="right").astype(jnp.int32)
+    marks = jnp.zeros((cap,), jnp.int32).at[cum].add(1, mode="drop")
+    gid = jnp.cumsum(marks)
     slot_valid = d < total
     gid_safe = jnp.clip(gid, 0, counts.shape[0] - 1)
 
-    local = d - cum_excl[gid_safe]
-    gw = width[gid_safe]
+    # one row-gather for all per-gaussian attributes (13x cheaper than
+    # separate [cap] gathers on TPU)
+    table = jnp.stack(
+        [cum_excl, width, tl_x, tl_y,
+         jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
+         jnp.zeros_like(cum_excl), jnp.zeros_like(cum_excl),
+         jnp.zeros_like(cum_excl)], axis=1)          # [N, 8] int32
+    rows = table[gid_safe]                           # [cap, 8]
+    local = d - rows[:, 0]
+    gw = rows[:, 1]
     dy = local // gw
     dx = local - dy * gw
-    tile = (tl_y[gid_safe] + dy) * n_tiles_w + (tl_x[gid_safe] + dx)
+    tile = (rows[:, 3] + dy) * n_tiles_w + (rows[:, 2] + dx)
+    depth_dup = jax.lax.bitcast_convert_type(rows[:, 4], jnp.float32)
 
     # sort keys: (tile, depth), stable — invalid slots to sentinel tile
     tile_key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)
-    depth_key = jnp.where(slot_valid, depth[gid_safe], jnp.inf)
+    depth_key = jnp.where(slot_valid, depth_dup, jnp.inf)
     tile_s, _, gid_s = jax.lax.sort(
         (tile_key, depth_key, gid_safe), num_keys=2, is_stable=True)
 

@@ -43,6 +43,8 @@ class LossConfig:
     """conf/base.yaml:44-50."""
 
     sds: Any = 0.1
+    vsd: Any = 1.0
+    lora: Any = 1.0
     sparsity: Any = 0.0
     opague: Any = 0.0          # sic — reference spelling
     z_var: Any = 0.0
@@ -77,7 +79,8 @@ class TrainerConfig:
 class TrainState(NamedTuple):
     scene: SceneState
     bg: dict
-    opt: AdamState        # over (GaussianParams, bg)
+    gp: Any               # trainable guidance params (e.g. VSD LoRA); {} else
+    opt: AdamState        # over (GaussianParams, bg, gp)
     key: jax.Array
     step: jax.Array
 
@@ -96,6 +99,7 @@ class Trainer:
                  pcfg: PruneConfig = PruneConfig(),
                  init_points: Optional[np.ndarray] = None,
                  init_colors: Optional[np.ndarray] = None,
+                 prompt_processor: Optional[Any] = None,
                  logger: Optional[Any] = None):
         self.cfg = cfg
         self.rcfg = rcfg
@@ -103,6 +107,7 @@ class Trainer:
         self.dcfg = dcfg
         self.pcfg = pcfg
         self.guidance = guidance or MockGuidance()
+        self.prompt_processor = prompt_processor
         self.data = CameraPoseProvider(data_cfg, seed=cfg.seed)
         self.logger = logger
 
@@ -111,9 +116,10 @@ class Trainer:
         scene = initialize(k_init, init_cfg, rcfg,
                            points=init_points, colors=init_colors)
         bg = init_background(k_bg, bg_cfg)
-        opt = adam_init((scene.params, bg))
-        self.state = TrainState(scene=scene, bg=bg, opt=opt, key=k_state,
-                                step=jnp.zeros((), jnp.int32))
+        gp = getattr(self.guidance, "trainable_params", {})
+        opt = adam_init((scene.params, bg, gp))
+        self.state = TrainState(scene=scene, bg=bg, gp=gp, opt=opt,
+                                key=k_state, step=jnp.zeros((), jnp.int32))
 
         self.lr_fns = {k: make_lr_schedule(v, cfg.max_steps)
                        for k, v in cfg.lr.items()}
@@ -135,6 +141,8 @@ class Trainer:
         c = lambda v: C(v, step, self.cfg.max_steps)
         s = {
             "w_sds": c(self.cfg.loss.sds),
+            "w_vsd": c(self.cfg.loss.vsd),
+            "w_lora": c(self.cfg.loss.lora),
             "w_sparsity": c(self.cfg.loss.sparsity),
             "w_opague": c(self.cfg.loss.opague),
             "w_z_var": c(self.cfg.loss.z_var),
@@ -143,6 +151,8 @@ class Trainer:
             s[f"lr_{f}"] = fn(step)
         for name, p in self.cfg.penalty.items():
             s[f"w_pen_{name}"] = c(p["value"])
+        if hasattr(self.guidance, "sched_scalars"):
+            s.update(self.guidance.sched_scalars(step, self.cfg.max_steps))
         return s
 
     # ---- the jitted train step ----
@@ -151,8 +161,8 @@ class Trainer:
         guidance = self.guidance
         penalty_cfg = cfg.penalty
 
-        def loss_fn(params: GaussianParams, bgp, taps, scene: SceneState,
-                    batch, sched, key):
+        def loss_fn(params: GaussianParams, bgp, gp, taps,
+                    scene: SceneState, batch, sched, key, gfrozen):
             B = batch["c2w"].shape[0]
             k_bg, k_g = jax.random.split(key)
             if bg_cfg.type == "mlp":
@@ -170,13 +180,20 @@ class Trainer:
                 batch["fx"], batch["fy"], batch["cx"], batch["cy"],
                 rgb_only=cfg.rgb_only, mean2d_taps=taps)
 
+            embedding = (self.prompt_processor()
+                         if self.prompt_processor is not None else None)
             g = guidance.loss(
-                guidance.params, outs["rgb"], None, batch["elevation"],
-                batch["azimuth"], batch["camera_distance"], k_g, sched,
+                {"frozen": gfrozen, "train": gp}, outs["rgb"], embedding,
+                batch["elevation"], batch["azimuth"],
+                batch["camera_distance"], k_g, sched,
                 c2ws=batch["c2w"], fxs=batch["fx"], fys=batch["fy"],
                 cxs=batch["cx"], cys=batch["cy"])
 
             loss = sched["w_sds"] * g.get("loss_sds", 0.0)
+            if "loss_vsd" in g:
+                loss = loss + sched["w_vsd"] * g["loss_vsd"]
+            if "loss_lora" in g:
+                loss = loss + sched["w_lora"] * g["loss_lora"]
             metrics = {f"loss_{k[5:]}" if k.startswith("loss_") else k: v
                        for k, v in g.items()}
             if not cfg.rgb_only:
@@ -213,16 +230,16 @@ class Trainer:
             }
             return loss, aux
 
-        def train_step(state: TrainState, batches, sched):
+        def train_step(state: TrainState, batches, sched, gfrozen):
             """batches: pytree with leading axis [grad_accum, B, ...]."""
             scene = state.scene
             key, k_loop = jax.random.split(state.key)
             A = cfg.grad_accum
             keys = jax.random.split(k_loop, A)
 
-            grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
+            grad_fn = jax.grad(loss_fn, argnums=(0, 1, 2, 3), has_aux=True)
             gsum = jax.tree_util.tree_map(
-                jnp.zeros_like, (scene.params, state.bg))
+                jnp.zeros_like, (scene.params, state.bg, state.gp))
             tap_grads, vis_list, radii_list = [], [], []
             aux = None
             for a in range(A):  # static unroll; A is small (1-4)
@@ -230,16 +247,17 @@ class Trainer:
                 taps = jnp.zeros(
                     (batch["c2w"].shape[0],) + scene.params.mean.shape[:1] + (2,),
                     jnp.float32)
-                grads, aux = grad_fn(scene.params, state.bg, taps, scene,
-                                     batch, sched, keys[a])
+                grads, aux = grad_fn(scene.params, state.bg, state.gp, taps,
+                                     scene, batch, sched, keys[a], gfrozen)
                 gsum = jax.tree_util.tree_map(
-                    jnp.add, gsum, (grads[0], grads[1]))
-                tap_grads.append(grads[2])
+                    jnp.add, gsum, (grads[0], grads[1], grads[2]))
+                tap_grads.append(grads[3])
                 if aux["visible"] is not None:
                     vis_list.append(aux["visible"])
                     radii_list.append(aux["radii2d"])
             gscene = jax.tree_util.tree_map(lambda x: x / A, gsum[0])
             gbg = jax.tree_util.tree_map(lambda x: x / A, gsum[1])
+            ggp = jax.tree_util.tree_map(lambda x: x / A, gsum[2])
 
             # per-field lr pytree
             lr_scene = GaussianParams(
@@ -247,9 +265,12 @@ class Trainer:
                 svec=sched["lr_svec"], color=sched["lr_color"],
                 alpha=sched["lr_alpha"])
             lr_bg = jax.tree_util.tree_map(lambda _: sched["lr_bg"], state.bg)
-            (new_params, new_bg), opt = adam_update(
-                (gscene, gbg), state.opt, (scene.params, state.bg),
-                (lr_scene, lr_bg))
+            lr_gp = jax.tree_util.tree_map(
+                lambda _: sched.get("lr_guidance", 1e-4), state.gp)
+            (new_params, new_bg, new_gp), opt = adam_update(
+                (gscene, gbg, ggp), state.opt,
+                (scene.params, state.bg, state.gp),
+                (lr_scene, lr_bg, lr_gp))
 
             # densify stats (update_densify_info,
             # gs/gaussian_splatting.py:464-469: accum += ||d loss/d mean2d||
@@ -269,8 +290,8 @@ class Trainer:
                                    grad_cnt=grad_cnt_new,
                                    max_radii2d=max_radii2d,
                                    params=new_params)
-            new_state = TrainState(scene=scene, bg=new_bg, opt=opt, key=key,
-                                   step=state.step + 1)
+            new_state = TrainState(scene=scene, bg=new_bg, gp=new_gp,
+                                   opt=opt, key=key, step=state.step + 1)
             return new_state, aux["metrics"]
 
         return jax.jit(train_step)
@@ -284,12 +305,15 @@ class Trainer:
     def train_step(self, step: int) -> Dict[str, float]:
         self.data.update(step)
         intr = self.data.intrinsics()
-        sched = {k: jnp.float32(v) for k, v in self.sched_scalars(step).items()}
+        sched = {k: (jnp.int32(v) if isinstance(v, int) else jnp.float32(v))
+                 for k, v in self.sched_scalars(step).items()}
         batches = [self.data.get_batch() for _ in range(self.cfg.grad_accum)]
         stacked = {k: jnp.asarray(np.stack([b[k] for b in batches]))
                    for k in batches[0]}
         fn = self._get_step_fn(intr)
-        self.state, metrics = fn(self.state, stacked, sched)
+        gfrozen = getattr(self.guidance, "frozen_params",
+                          getattr(self.guidance, "params", {}))
+        self.state, metrics = fn(self.state, stacked, sched, gfrozen)
         return metrics
 
     def density_step(self, step: int) -> Dict[str, Any]:
