@@ -137,6 +137,8 @@ def render_view(
     fx=None, fy=None, cx=None, cy=None,  # dynamic intrinsics (default intr)
     rgb_only: bool = False,
     mean2d_tap: Optional[jax.Array] = None,  # [M, 2] zeros; grad tap for densify
+    cull_intr: Optional[CameraIntrinsics] = None,  # frustum override
+    pixel_offset_y=0,            # slab row offset (tile-sharded render)
 ) -> Dict[str, jax.Array]:
     """Render one view.  The TPU analog of render_one
     (gs/gaussian_splatting.py:1198-1420).
@@ -162,8 +164,10 @@ def render_view(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
         color = eval_sh_color(coeffs, dirs)
 
-    # frustum culling (culling.h:11-34 semantics)
-    normals, pts = get_frustum(c2w, intr)
+    # frustum culling (culling.h:11-34 semantics).  cull_intr lets
+    # tile-sharded slab renders cull with the FULL camera (a slab's
+    # symmetric frustum would wrongly cull its own content).
+    normals, pts = get_frustum(c2w, cull_intr or intr)
     radii = jnp.max(svec, axis=-1) * cfg.frustum_culling_radius
     cull = sphere_in_frustum(mean, radii, normals, pts)
 
@@ -180,7 +184,8 @@ def render_view(
         jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(proj.cov2d),
         jax.lax.stop_gradient(proj.depth), vis,
         fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
-        chunk=cfg.chunk, tile_culling_radius=cfg.tile_culling_radius)
+        chunk=cfg.chunk, tile_culling_radius=cfg.tile_culling_radius,
+        pixel_offset_y=pixel_offset_y)
 
     if rgb_only:
         feats = color
@@ -189,7 +194,8 @@ def render_view(
             [color, proj.depth[:, None], (proj.depth * proj.depth)[:, None]],
             axis=-1)
 
-    topleft = (-cx / fx, -cy / fy)
+    oy = jnp.asarray(pixel_offset_y, jnp.float32)
+    topleft = (-cx / fx, (oy - cy) / fy)
     psz = (1.0 / fx, 1.0 / fy)
     backend = cfg.backend
     if backend == "auto":

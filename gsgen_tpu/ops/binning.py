@@ -64,6 +64,7 @@ def tile_aabbs(
     w: int, h: int,
     tile_size: int,
     tile_culling_radius: float = 6.0,
+    pixel_offset_y=0,
 ):
     """Per-Gaussian inclusive tile-space AABB (tl_x, tl_y, br_x, br_y).
 
@@ -73,15 +74,24 @@ def tile_aabbs(
     """
     hx = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 0, 0], 0.0))
     hy = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 1, 1], 0.0))
+    # pixel bounds are computed in GLOBAL image coordinates and shifted
+    # by the (integer) slab offset afterwards, so tile membership is
+    # bit-identical between a full render and its tile-sharded slabs
     tl_px = ((mean2d[..., 0] - hx) * fx + cx).astype(jnp.int32)
-    tl_py = ((mean2d[..., 1] - hy) * fy + cy).astype(jnp.int32)
+    tl_py = ((mean2d[..., 1] - hy) * fy + cy).astype(jnp.int32) - pixel_offset_y
     br_px = ((mean2d[..., 0] + hx) * fx + cx).astype(jnp.int32)
-    br_py = ((mean2d[..., 1] + hy) * fy + cy).astype(jnp.int32)
+    br_py = ((mean2d[..., 1] + hy) * fy + cy).astype(jnp.int32) - pixel_offset_y
+    # a footprint entirely outside the image is DROPPED, not clamped into
+    # edge tiles (the reference clamps, gs/culling.py:23-27, spuriously
+    # binning out-of-frame Gaussians into border tiles; correctness of
+    # tile-sharded slab rendering requires the drop)
+    overlaps = ((br_px >= 0) & (tl_px <= w - 1)
+                & (br_py >= 0) & (tl_py <= h - 1))
     tl_x = jnp.clip(tl_px, 0, w - 1) // tile_size
     tl_y = jnp.clip(tl_py, 0, h - 1) // tile_size
     br_x = jnp.clip(br_px, 0, w - 1) // tile_size
     br_y = jnp.clip(br_py, 0, h - 1) // tile_size
-    return tl_x, tl_y, br_x, br_y
+    return tl_x, tl_y, br_x, br_y, overlaps
 
 
 def bin_gaussians(
@@ -95,6 +105,7 @@ def bin_gaussians(
     cap: int,                 # static duplicate capacity (pre-alignment)
     chunk: int = 256,         # static kernel chunk size (segment alignment)
     tile_culling_radius: float = 6.0,
+    pixel_offset_y=0,         # slab offset (tile-sharded rendering)
 ) -> BinnedTiles:
     """Bin Gaussians into chunk-aligned, depth-sorted per-tile segments."""
     n_tiles_w = -(-w // tile_size)
@@ -102,12 +113,13 @@ def bin_gaussians(
     n_tiles = n_tiles_w * n_tiles_h
     cap_padded = cap + n_tiles * chunk
 
-    tl_x, tl_y, br_x, br_y = tile_aabbs(
-        mean2d, cov2d, fx, fy, cx, cy, w, h, tile_size, tile_culling_radius)
+    tl_x, tl_y, br_x, br_y, overlaps = tile_aabbs(
+        mean2d, cov2d, fx, fy, cx, cy, w, h, tile_size, tile_culling_radius,
+        pixel_offset_y)
 
     width = br_x - tl_x + 1
     height = br_y - tl_y + 1
-    counts = jnp.where(active, width * height, 0).astype(jnp.int32)
+    counts = jnp.where(active & overlaps, width * height, 0).astype(jnp.int32)
 
     # vectorized repeat: slot d belongs to gaussian g with
     # cum_excl[g] <= d < cum_excl[g] + counts[g].  A searchsorted here
