@@ -48,6 +48,10 @@ class LossConfig:
     sparsity: Any = 0.0
     opague: Any = 0.0          # sic — reference spelling
     z_var: Any = 0.0
+    # image-to-3D (trainer.py:641-695) + aux point guidance (:458-466)
+    image: Any = 1000.0
+    depth: Any = 10.0
+    aux_guidance: Any = 0.0    # e.g. [2000, 0.01, 0, 2001]
 
 
 @dataclasses.dataclass
@@ -100,6 +104,10 @@ class Trainer:
                  init_points: Optional[np.ndarray] = None,
                  init_colors: Optional[np.ndarray] = None,
                  prompt_processor: Optional[Any] = None,
+                 image_target: Optional[Any] = None,    # sit3d ImageTarget
+                 aux_guidance: Optional[Any] = None,    # PointEAuxGuidance
+                 grad_mask: Optional[jnp.ndarray] = None,
+                 mask_steps: tuple = (-1, -1),          # (start, end)
                  logger: Optional[Any] = None):
         self.cfg = cfg
         self.rcfg = rcfg
@@ -108,6 +116,10 @@ class Trainer:
         self.pcfg = pcfg
         self.guidance = guidance or MockGuidance()
         self.prompt_processor = prompt_processor
+        self.image_target = image_target
+        self.aux_guidance = aux_guidance
+        self.grad_mask = grad_mask
+        self.mask_steps = mask_steps
         self.data = CameraPoseProvider(data_cfg, seed=cfg.seed)
         self.logger = logger
 
@@ -153,6 +165,14 @@ class Trainer:
             s[f"w_pen_{name}"] = c(p["value"])
         if hasattr(self.guidance, "sched_scalars"):
             s.update(self.guidance.sched_scalars(step, self.cfg.max_steps))
+        if self.image_target is not None:
+            s["w_image"] = c(self.cfg.loss.image)
+            s["w_depth"] = c(self.cfg.loss.depth)
+        if self.aux_guidance is not None:
+            s["w_aux"] = c(self.cfg.loss.aux_guidance)
+        ms, me = self.mask_steps
+        s["grad_mask_on"] = 1.0 if (self.grad_mask is not None
+                                    and ms <= step <= me) else 0.0
         return s
 
     # ---- the jitted train step ----
@@ -196,6 +216,21 @@ class Trainer:
                 loss = loss + sched["w_lora"] * g["loss_lora"]
             metrics = {f"loss_{k[5:]}" if k.startswith("loss_") else k: v
                        for k, v in g.items()}
+            if self.image_target is not None and "is_original" in batch:
+                from .sit3d import sit3d_losses
+                sl = sit3d_losses(outs, batch, self.image_target, sched)
+                loss = (loss + sched["w_image"] * sl["loss_image"]
+                        + sched["w_depth"] * sl["loss_depth"])
+                metrics.update(sl)
+            if self.aux_guidance is not None:
+                from ..models.scene import activate as _activate
+                _, _, _, col, _ = _activate(params, rcfg)
+                emb_aux = embedding.text if embedding is not None else None
+                ag = self.aux_guidance.loss(
+                    self.aux_guidance.params, params.mean, col, scene.active,
+                    emb_aux, k_g)
+                loss = loss + sched["w_aux"] * ag["loss_aux"]
+                metrics.update(ag)
             if not cfg.rgb_only:
                 # trainer.py:345-383
                 sparsity = jnp.mean(jnp.sqrt(outs["opacity"] ** 2 + 0.01))
@@ -258,6 +293,14 @@ class Trainer:
             gscene = jax.tree_util.tree_map(lambda x: x / A, gsum[0])
             gbg = jax.tree_util.tree_map(lambda x: x / A, gsum[1])
             ggp = jax.tree_util.tree_map(lambda x: x / A, gsum[2])
+            if self.grad_mask is not None:
+                # freeze masked rows while the mask window is on
+                # (register_mask, gs/gaussian_splatting.py:341-366)
+                keep = 1.0 - sched["grad_mask_on"] * \
+                    self.grad_mask.astype(jnp.float32)
+                gscene = GaussianParams(*(
+                    x * keep.reshape((-1,) + (1,) * (x.ndim - 1))
+                    for x in gscene))
 
             # per-field lr pytree
             lr_scene = GaussianParams(

@@ -63,16 +63,23 @@ def mean_knn_sqdist(points: jax.Array, k: int = 3,
 
 @functools.partial(jax.jit, static_argnames=("n_samples",))
 def farthest_point_sampling(points: jax.Array, n_samples: int,
-                            key: jax.Array | None = None) -> jax.Array:
+                            key: jax.Array | None = None,
+                            mask: jax.Array | None = None) -> jax.Array:
     """Indices of a farthest-point subset [n_samples].
 
     Replaces pytorch3d ``sample_farthest_points`` (utils/ops.py:101-118).
-    Deterministic start at index 0 unless a PRNG key is given.
+    Deterministic start at the first unmasked index unless a PRNG key is
+    given; ``mask`` excludes points from selection entirely.
     """
     n = points.shape[0]
-    start = (jnp.zeros((), jnp.int32) if key is None
-             else jax.random.randint(key, (), 0, n))
+    if mask is None:
+        start = (jnp.zeros((), jnp.int32) if key is None
+                 else jax.random.randint(key, (), 0, n))
+    else:
+        start = jnp.argmax(mask).astype(jnp.int32)
     mind = jnp.full((n,), jnp.inf)
+    if mask is not None:
+        mind = jnp.where(mask, mind, -jnp.inf)   # masked: never argmax
 
     def body(carry, _):
         mind, last = carry

@@ -1,0 +1,76 @@
+"""Sweep expansion, Adan optimizer, web viewer render path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from gsgen_tpu.training.adan import adan_init, adan_update
+from gsgen_tpu.utils.sweep import generate_sweep_configs
+
+
+def test_sweep_expansion(tmp_path):
+    spec = {
+        "joint_fields": ["trainer.max_steps", "trainer.batch_size"],
+        "trainer.max_steps": [100, 200],
+        "trainer.batch_size": [2, 4],
+        "init.num_points": [256, 1024],
+    }
+    paths = generate_sweep_configs("configs/smoke.yaml", spec,
+                                   out_dir=str(tmp_path))
+    assert len(paths) == 4          # 2 cross x 2 joint
+    cfgs = [yaml.safe_load(open(p)) for p in paths]
+    seen = {(c["trainer"]["max_steps"], c["trainer"]["batch_size"],
+             c["init"]["num_points"]) for c in cfgs}
+    assert seen == {(100, 2, 256), (200, 4, 256), (100, 2, 1024),
+                    (200, 4, 1024)}
+
+
+def test_adan_converges_quadratic():
+    # minimize ||x - 3||^2 (anneal lr to kill the terminal oscillation)
+    p = {"x": jnp.zeros(4)}
+    st = adan_init(p)
+
+    @jax.jit
+    def step(p, st, lr):
+        g = {"x": 2.0 * (p["x"] - 3.0)}
+        return adan_update(g, st, p, lr)
+
+    for i in range(300):
+        p, st = step(p, st, 0.1 if i < 200 else 0.005)
+    np.testing.assert_allclose(np.asarray(p["x"]), 3.0, atol=0.05)
+
+
+def test_viewer_render():
+    from gsgen_tpu.io.viewer import SceneViewer
+    from gsgen_tpu.models.init import InitConfig, initialize
+    from gsgen_tpu.models.scene import RenderConfig
+    rcfg = RenderConfig(dup_cap=4096, chunk=64, tile_size=8)
+    state = initialize(jax.random.PRNGKey(0),
+                       InitConfig(num_points=64, svec_val=0.05), rcfg)
+    v = SceneViewer(state, rcfg)
+    jpeg = v.render(azimuth=30, elevation=20, distance=2.5, reso=64)
+    assert jpeg[:2] == b"\xff\xd8"     # JPEG magic
+    assert len(jpeg) > 500
+
+
+def test_viewer_http_roundtrip():
+    import urllib.request
+    from gsgen_tpu.io.viewer import SceneViewer
+    from gsgen_tpu.models.init import InitConfig, initialize
+    from gsgen_tpu.models.scene import RenderConfig
+    rcfg = RenderConfig(dup_cap=4096, chunk=64, tile_size=8)
+    state = initialize(jax.random.PRNGKey(0),
+                       InitConfig(num_points=32, svec_val=0.05), rcfg)
+    v = SceneViewer(state, rcfg, port=18491)
+    v.serve(blocking=False)
+    try:
+        html = urllib.request.urlopen(
+            "http://localhost:18491/", timeout=30).read()
+        assert b"gsgen-tpu viewer" in html
+        img = urllib.request.urlopen(
+            "http://localhost:18491/render?azimuth=0&elevation=20"
+            "&distance=2.5&reso=64", timeout=60).read()
+        assert img[:2] == b"\xff\xd8"
+    finally:
+        v.httpd.shutdown()
