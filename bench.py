@@ -35,7 +35,7 @@ def main():
     from gsgen_tpu.models.init import InitConfig, initialize
     from gsgen_tpu.ops.camera import CameraIntrinsics
 
-    rcfg = RenderConfig(dup_cap=1 << 20, chunk=256)
+    rcfg = RenderConfig(dup_cap=1 << 19, chunk=256)
     intr = CameraIntrinsics.from_reso(reso)
 
     @jax.jit
