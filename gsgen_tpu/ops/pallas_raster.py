@@ -228,55 +228,67 @@ def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
         def _():
             wdma(slot, i - 2).wait()
 
-        d = buf[slot]
-        (dx, dy, radial, G, a_cl, aG, om, T_run, processed, w) = \
-            _chunk_weights(d, pixx, pixy, T_col, T_thresh)
-        fe = d[6:6 + F, :]
-        al = d[5:6, :]
+        def heavy(c):
+            T_col, Sdot = c
+            d = buf[slot]
+            (dx, dy, radial, G, a_cl, aG, om, T_run, processed, w) = \
+                _chunk_weights(d, pixx, pixy, T_col, T_thresh)
+            fe = d[6:6 + F, :]
+            al = d[5:6, :]
 
-        # gof[p,k] = sum_f g[f,p] fe[f,k]
-        gof = jax.lax.dot_general(
-            gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [P, K]
-        e = w * gof
-        accum_dot = Sdot + _incl_cumsum_lanes(e)         # dot(g, accum thru k)
-        suffix = dotfinal - accum_dot
-        # d loss / d aG (vol_render.h:383-399 trick, fully vectorized)
-        om_safe = jnp.maximum(om, 1e-6)
-        daG = jnp.where(processed & (aG > 0.0),
-                        gof * T_run - (suffix + gT_Tf) / om_safe,
-                        0.0)
+            # gof[p,k] = sum_f g[f,p] fe[f,k]
+            gof = jax.lax.dot_general(
+                gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [P, K]
+            e = w * gof
+            accum_dot = Sdot + _incl_cumsum_lanes(e)     # dot(g, accum thru k)
+            suffix = dotfinal - accum_dot
+            # d loss / d aG (vol_render.h:383-399 trick, fully vectorized)
+            om_safe = jnp.maximum(om, 1e-6)
+            daG = jnp.where(processed & (aG > 0.0),
+                            gof * T_run - (suffix + gT_Tf) / om_safe,
+                            0.0)
 
-        # chain rule to per-duplicate grads (reductions over pixels)
-        dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
-            * (al < ALPHA_CLAMP)                          # [1, K]
-        dG = daG * a_cl
-        dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
-        ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
-        dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
-                      axis=0, keepdims=True)
-        dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
-                      axis=0, keepdims=True)
-        dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
-        dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
-        dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
-        dfe = jax.lax.dot_general(
-            gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)           # [F, K]
+            # chain rule to per-duplicate grads (reductions over pixels)
+            dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
+                * (al < ALPHA_CLAMP)                      # [1, K]
+            dG = daG * a_cl
+            dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
+            ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+            dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
+                          axis=0, keepdims=True)
+            dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
+                          axis=0, keepdims=True)
+            dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
+            dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
+            dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
+            dfe = jax.lax.dot_general(
+                gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [F, K]
 
-        dbuf[slot, 0:1, :] = dmx
-        dbuf[slot, 1:2, :] = dmy
-        dbuf[slot, 2:3, :] = dca
-        dbuf[slot, 3:4, :] = dcb
-        dbuf[slot, 4:5, :] = dcc
-        dbuf[slot, 5:6, :] = dalpha
-        dbuf[slot, 6:6 + F, :] = dfe
-        if 6 + F < D_ROWS:
-            dbuf[slot, 6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K), jnp.float32)
+            dbuf[slot, 0:1, :] = dmx
+            dbuf[slot, 1:2, :] = dmy
+            dbuf[slot, 2:3, :] = dca
+            dbuf[slot, 3:4, :] = dcb
+            dbuf[slot, 4:5, :] = dcc
+            dbuf[slot, 5:6, :] = dalpha
+            dbuf[slot, 6:6 + F, :] = dfe
+            if 6 + F < D_ROWS:
+                dbuf[slot, 6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K),
+                                                  jnp.float32)
+            T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
+            Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
+            return T_col, Sdot
+
+        def dead(c):
+            # every pixel saturated: all remaining grads are zero, but
+            # the tile's exclusive buffer rows must still be written
+            dbuf[slot] = jnp.zeros((D_ROWS, K), jnp.float32)
+            return c
+
+        alive = jnp.max(T_col) >= T_thresh
+        T_col, Sdot = jax.lax.cond(alive, heavy, dead, (T_col, Sdot))
         wdma(slot, i).start()
-
-        T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
-        Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
         return T_col, Sdot
 
     T0 = jnp.ones((P, 1), jnp.float32)
