@@ -80,6 +80,18 @@ def _incl_cumsum_lanes(x: jax.Array) -> jax.Array:
     return acc
 
 
+def _update_T(T_col, om, cp_excl, processed):
+    """T *= prod(om_eff).  Exact (pure multiplies) when every Gaussian in
+    the chunk was processed — the common case; the exp-sum-log fallback
+    (TPU transcendentals are ~1e-5 relative) only engages for saturated
+    pixels whose T is below the early-exit threshold anyway."""
+    prod_raw = cp_excl[:, -1:] * om[:, -1:]
+    all_processed = processed[:, -1:]          # processed is monotone in k
+    prod_eff = jnp.where(all_processed, prod_raw,
+                         _prod_lanes(jnp.where(processed, om, 1.0)))
+    return T_col * prod_eff
+
+
 def _chunk_weights(d, pixx, pixy, T_col, T_thresh):
     """Shared fwd/bwd chunk math.
 
@@ -103,7 +115,7 @@ def _chunk_weights(d, pixx, pixy, T_col, T_thresh):
     T_run = T_col * cp_excl
     processed = T_run >= T_thresh
     w = jnp.where(processed, aG * T_run, 0.0)
-    return dx, dy, radial, G, a_cl, aG, om, T_run, processed, w
+    return dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed, w
 
 
 def _pix_coords(t, geom_ref, tile_size, n_tiles_w):
@@ -152,14 +164,14 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
 
         dma(slot, i).wait()
         d = buf[slot]                                    # [D_ROWS, K]
-        (_, _, _, _, _, _, om, _, processed, w) = _chunk_weights(
+        (_, _, _, _, _, _, om, cp_excl, _, processed, w) = _chunk_weights(
             d, pixx, pixy, T_col, T_thresh)
         fe = d[6:6 + F, :]                               # [F, K]
         # acc[F, P] += fe @ w^T   (contraction over K on the MXU)
         acc = acc + jax.lax.dot_general(
             fe, w, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
+        T_col = _update_T(T_col, om, cp_excl, processed)
         return i + 1, T_col, acc
 
     T0 = jnp.ones((P, 1), jnp.float32)
@@ -231,8 +243,8 @@ def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
         def heavy(c):
             T_col, Sdot = c
             d = buf[slot]
-            (dx, dy, radial, G, a_cl, aG, om, T_run, processed, w) = \
-                _chunk_weights(d, pixx, pixy, T_col, T_thresh)
+            (dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed,
+             w) = _chunk_weights(d, pixx, pixy, T_col, T_thresh)
             fe = d[6:6 + F, :]
             al = d[5:6, :]
 
@@ -276,7 +288,7 @@ def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
             if 6 + F < D_ROWS:
                 dbuf[slot, 6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K),
                                                   jnp.float32)
-            T_col = T_col * _prod_lanes(jnp.where(processed, om, 1.0))
+            T_col = _update_T(T_col, om, cp_excl, processed)
             Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
             return T_col, Sdot
 

@@ -33,10 +33,12 @@ def setup(n=60, radius=60.0, seed=0, cap=4096, alpha_override=None):
     topleft = (-cx / fx, -cy / fy)
     psz = (1.0 / fx, 1.0 / fy)
 
+    interp = jax.default_backend() == "cpu"   # compiled on real TPU
+
     def pallas_fn(mean2d, conic, alpha, feats):
         return rasterize_tiles_pallas(
             mean2d, conic, alpha, feats, bins, topleft, psz,
-            w=RES, h=RES, tile_size=TILE, chunk=CHUNK, interpret=True)
+            w=RES, h=RES, tile_size=TILE, chunk=CHUNK, interpret=interp)
 
     def dense_fn(mean2d, conic, alpha, feats):
         pix = pixel_grid(topleft, psz, RES, RES)
