@@ -73,6 +73,12 @@ class TrainerConfig:
         "alpha": {"type": "center_weighted", "value": 0.0}})
     log_period: int = 100
     save_period: int = 2000
+    # bucketed duplicate capacity: the reference allocates the exact
+    # N_with_dub per frame via a host sync (gs/culling.py:34); with
+    # static shapes we pick a power-of-two bucket from the previous
+    # frames' observed totals (each bucket = one cached executable)
+    auto_dup_bucket: bool = True
+    dup_bucket_min: int = 1 << 14
     eval_image_period: int = 100       # conf/base.yaml:36-42
     eval_video_period: int = 500
     eval_elevation: float = 45.0
@@ -135,6 +141,7 @@ class Trainer:
 
         self.lr_fns = {k: make_lr_schedule(v, cfg.max_steps)
                        for k, v in cfg.lr.items()}
+        self.dup_bucket = rcfg.dup_cap
         self._step_cache: Dict[Any, Callable] = {}
         self._densify_jit = jax.jit(densify, static_argnames=("cfg", "rcfg"))
         self._prune_jit = jax.jit(prune, static_argnames=("cfg", "rcfg"))
@@ -177,7 +184,8 @@ class Trainer:
 
     # ---- the jitted train step ----
     def _build_step(self, intr: CameraIntrinsics):
-        cfg, rcfg, bg_cfg = self.cfg, self.rcfg, self.bg_cfg
+        cfg, bg_cfg = self.cfg, self.bg_cfg
+        rcfg = self._effective_rcfg()
         guidance = self.guidance
         penalty_cfg = cfg.penalty
 
@@ -258,6 +266,7 @@ class Trainer:
                 loss = loss + sched[f"w_pen_{name}"] * pen
                 metrics[f"pen_{name}"] = pen
             metrics["loss_total"] = loss
+            metrics["n_dup_max"] = jnp.max(outs["n_dup"])
             aux = {
                 "radii2d": outs.get("radii2d"),
                 "visible": outs.get("visible"),
@@ -339,10 +348,30 @@ class Trainer:
 
         return jax.jit(train_step)
 
+    def _effective_rcfg(self):
+        if self.dup_bucket == self.rcfg.dup_cap:
+            return self.rcfg
+        return dataclasses.replace(self.rcfg, dup_cap=self.dup_bucket)
+
     def _get_step_fn(self, intr: CameraIntrinsics):
-        if intr not in self._step_cache:
-            self._step_cache[intr] = self._build_step(intr)
-        return self._step_cache[intr]
+        key = (intr, self.dup_bucket)
+        if key not in self._step_cache:
+            self._step_cache[key] = self._build_step(intr)
+        return self._step_cache[key]
+
+    def _adjust_dup_bucket(self, n_dup_max: int):
+        """Grow on (near-)overflow, shrink when persistently oversized."""
+        cap = self.dup_bucket
+        if n_dup_max > 0.7 * cap:
+            self.dup_bucket = cap * 2
+            self._shrink_streak = 0
+        elif n_dup_max < 0.15 * cap and cap > self.cfg.dup_bucket_min:
+            self._shrink_streak = getattr(self, "_shrink_streak", 0) + 1
+            if self._shrink_streak >= 20:
+                self.dup_bucket = cap // 2
+                self._shrink_streak = 0
+        else:
+            self._shrink_streak = 0
 
     # ---- host loop ----
     def train_step(self, step: int) -> Dict[str, float]:
@@ -357,6 +386,10 @@ class Trainer:
         gfrozen = getattr(self.guidance, "frozen_params",
                           getattr(self.guidance, "params", {}))
         self.state, metrics = fn(self.state, stacked, sched, gfrozen)
+        # bucket feedback only every 10 steps: int() forces a host sync,
+        # which would otherwise serialize the async dispatch pipeline
+        if self.cfg.auto_dup_bucket and step % 10 == 0:
+            self._adjust_dup_bucket(int(metrics["n_dup_max"]))
         return metrics
 
     def density_step(self, step: int) -> Dict[str, Any]:

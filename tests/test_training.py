@@ -161,3 +161,31 @@ def test_trainer_grad_accum():
     assert np.isfinite(float(m["loss_total"]))
     # densify stats accumulated over both micro-batches
     assert float(jnp.max(trainer.state.scene.grad_cnt)) >= 2.0
+
+
+def test_dup_bucket_adjustment():
+    tcfg = TrainerConfig(max_steps=10, batch_size=1, dup_bucket_min=1 << 10)
+    trainer = Trainer(
+        cfg=tcfg, rcfg=RCFG,
+        init_cfg=InitConfig(num_points=16, capacity=16),
+        bg_cfg=BackgroundConfig(type="fixed"),
+        data_cfg=CameraSamplerConfig(batch_size=1, max_steps=10, reso=(16,)),
+        guidance=MockGuidance(),
+        dcfg=DensifyConfig(enabled=False), pcfg=PruneConfig(enabled=False))
+    cap0 = trainer.dup_bucket
+    # near-overflow grows immediately
+    trainer._adjust_dup_bucket(int(0.9 * cap0))
+    assert trainer.dup_bucket == cap0 * 2
+    # persistent undersubscription shrinks after 20 feedback events
+    for _ in range(19):
+        trainer._adjust_dup_bucket(10)
+    assert trainer.dup_bucket == cap0 * 2
+    trainer._adjust_dup_bucket(10)
+    assert trainer.dup_bucket == cap0
+    # a busy frame resets the shrink streak
+    for _ in range(10):
+        trainer._adjust_dup_bucket(10)
+    trainer._adjust_dup_bucket(int(0.5 * cap0))
+    for _ in range(19):
+        trainer._adjust_dup_bucket(10)
+    assert trainer.dup_bucket == cap0
