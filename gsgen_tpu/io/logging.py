@@ -78,6 +78,25 @@ class RunLogger:
         (self.dir / "config.json").write_text(
             json.dumps(blob, indent=2, default=str))
 
+    def snapshot_code(self, repo_root="."):
+        """Archive the git-tracked sources into the run dir for exact
+        reproducibility (reference save_code_snapshot, trainer.py:268-283)."""
+        import subprocess
+        try:
+            files = subprocess.run(
+                ["git", "ls-files"], cwd=repo_root, check=True,
+                capture_output=True, text=True).stdout.splitlines()
+            import tarfile
+            with tarfile.open(self.dir / "code_snapshot.tar.gz", "w:gz") as t:
+                for f in files:
+                    p = Path(repo_root) / f
+                    if p.exists():
+                        t.add(p, arcname=f)
+            return str(self.dir / "code_snapshot.tar.gz")
+        except Exception as e:       # not a git repo etc — non-fatal
+            (self.dir / "code_snapshot_skipped.txt").write_text(str(e))
+            return None
+
     def close(self):
         self._scalars_file.close()
         if self.tb is not None:

@@ -38,6 +38,7 @@ def main(argv=None):
         name = cfg.get("prompt", {}).get("prompt", "run")
         logger = RunLogger(name=name)
         logger.save_config(cfg)
+        logger.snapshot_code()
         print(f"run dir: {logger.dir}")
 
     trainer = build_trainer(cfg, logger=logger)
