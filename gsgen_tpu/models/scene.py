@@ -225,16 +225,24 @@ def render_view(
 
 
 def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
-                 cxs=None, cys=None, rgb_only=False, mean2d_taps=None):
+                 cxs=None, cys=None, rgb_only=False, mean2d_taps=None,
+                 tile_mesh=None):
     """vmap of :func:`render_view` over a batch of cameras.
 
     c2ws [B,3,4]; bgs [B,3] or [B,H,W,3]; optional per-sample dynamic
     intrinsics [B] (reference CameraPoseProvider samples per-view focal,
-    data/__init__.py:151-230).
+    data/__init__.py:151-230).  Passing ``tile_mesh`` renders each view
+    tile-sharded over that mesh's "tile" axis (multi-chip training).
     """
-    fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view(
-        params, active, c2w, intr, cfg, bg, fx, fy, cx, cy,
-        rgb_only=rgb_only, mean2d_tap=tap)
+    if tile_mesh is not None:
+        from ..parallel.sharded_render import render_view_tile_sharded
+        fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view_tile_sharded(
+            params, active, c2w, intr, cfg, bg, tile_mesh,
+            fx=fx, fy=fy, cx=cx, cy=cy, rgb_only=rgb_only, mean2d_tap=tap)
+    else:
+        fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view(
+            params, active, c2w, intr, cfg, bg, fx, fy, cx, cy,
+            rgb_only=rgb_only, mean2d_tap=tap)
     B = c2ws.shape[0]
     ones = jnp.ones((B,), jnp.float32)
     fxs = ones * intr.fx if fxs is None else fxs

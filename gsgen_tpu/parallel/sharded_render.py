@@ -45,6 +45,7 @@ def render_view_tile_sharded(
     axis: str = "tile",
     fx=None, fy=None, cx=None, cy=None,
     rgb_only: bool = False,
+    mean2d_tap: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Render one view with tiles sharded over ``mesh[axis]``.
 
@@ -62,34 +63,40 @@ def render_view_tile_sharded(
     cx = intr.cx if cx is None else cx
     cy = intr.cy if cy is None else cy
 
-    def slab_render(params, active, c2w, bg, fx, fy, cx, cy):
+    def slab_render(params, active, c2w, bg, fx, fy, cx, cy, tap):
         d = jax.lax.axis_index(axis)
         y0 = d * slab_h
         out = render_view(params, active, c2w, slab_intr, cfg, bg,
                           fx=fx, fy=fy, cx=cx, cy=cy,
                           rgb_only=rgb_only, cull_intr=intr,
-                          pixel_offset_y=y0)
+                          pixel_offset_y=y0, mean2d_tap=tap)
         # non-image outputs are per-slab partials; mark reductions
-        out.pop("n_dup", None)
+        out["n_dup"] = jax.lax.psum(
+            jax.lax.stop_gradient(out["n_dup"]), axis)
         if not rgb_only:
-            # radii2d/visible: same per device except slab frustum — take max/any
-            out["radii2d"] = jax.lax.pmax(out["radii2d"], axis)
-            out["visible"] = jax.lax.pmax(out["visible"].astype(jnp.int32),
-                                          axis).astype(bool)
+            # radii2d/visible are densify stats (never differentiated —
+            # pmax has no JVP rule); reduce across slabs explicitly
+            out["radii2d"] = jax.lax.pmax(
+                jax.lax.stop_gradient(out["radii2d"]), axis)
+            out["visible"] = jax.lax.pmax(
+                jax.lax.stop_gradient(out["visible"].astype(jnp.int32)),
+                axis).astype(bool)
         return out
 
     img_spec = P(axis)          # row-sharded image outputs
     rep = P()
-    out_specs = {"rgb": img_spec, "T": img_spec}
+    out_specs = {"rgb": img_spec, "T": img_spec, "n_dup": rep}
     if not rgb_only:
         out_specs.update(depth=img_spec, opacity=img_spec, z_var=img_spec,
                          radii2d=rep, visible=rep)
 
+    if mean2d_tap is None:
+        mean2d_tap = jnp.zeros(params.mean.shape[:1] + (2,), jnp.float32)
     fn = shard_map(
         slab_render, mesh=mesh,
-        in_specs=(rep, rep, rep, rep, rep, rep, rep, rep),
+        in_specs=(rep, rep, rep, rep, rep, rep, rep, rep, rep),
         out_specs=out_specs,
         check_rep=False)
     return fn(params, active, c2w, bg,
               jnp.float32(fx), jnp.float32(fy), jnp.float32(cx),
-              jnp.float32(cy))
+              jnp.float32(cy), mean2d_tap)

@@ -114,6 +114,7 @@ class Trainer:
                  aux_guidance: Optional[Any] = None,    # PointEAuxGuidance
                  grad_mask: Optional[jnp.ndarray] = None,
                  mask_steps: tuple = (-1, -1),          # (start, end)
+                 tile_mesh: Optional[Any] = None,       # Mesh for tile sharding
                  logger: Optional[Any] = None):
         self.cfg = cfg
         self.rcfg = rcfg
@@ -126,6 +127,7 @@ class Trainer:
         self.aux_guidance = aux_guidance
         self.grad_mask = grad_mask
         self.mask_steps = mask_steps
+        self.tile_mesh = tile_mesh
         self.data = CameraPoseProvider(data_cfg, seed=cfg.seed)
         self.logger = logger
 
@@ -206,7 +208,8 @@ class Trainer:
             outs = render_batch(
                 params, scene.active, batch["c2w"], intr, rcfg, bgs,
                 batch["fx"], batch["fy"], batch["cx"], batch["cy"],
-                rgb_only=cfg.rgb_only, mean2d_taps=taps)
+                rgb_only=cfg.rgb_only, mean2d_taps=taps,
+                tile_mesh=self.tile_mesh)
 
             embedding = (self.prompt_processor()
                          if self.prompt_processor is not None else None)

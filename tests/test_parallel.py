@@ -75,3 +75,43 @@ def test_dp_mesh_batch_sharding(scene):
     assert sharded["x"].sharding.spec == jax.sharding.PartitionSpec("data")
     rep = replicate({"y": jnp.ones(3)}, mesh)
     assert rep["y"].sharding.spec == jax.sharding.PartitionSpec()
+
+
+def test_trainer_with_tile_mesh(scene):
+    """Full training step with per-view tile-sharded rendering."""
+    if jax.device_count() < 4:
+        pytest.skip("needs multi-device mesh")
+    from gsgen_tpu.data.cameras import CameraSamplerConfig
+    from gsgen_tpu.guidance.mock import MockGuidance
+    from gsgen_tpu.models.background import BackgroundConfig
+    from gsgen_tpu.models.density import DensifyConfig, PruneConfig
+    from gsgen_tpu.models.init import InitConfig
+    from gsgen_tpu.training.trainer import Trainer, TrainerConfig
+
+    mesh = make_mesh(4, axes=("tile",))
+
+    def build(tile_mesh):
+        return Trainer(
+            cfg=TrainerConfig(max_steps=10, batch_size=2, seed=3,
+                              auto_dup_bucket=False, eval_image_period=0,
+                              eval_video_period=0, save_period=0),
+            rcfg=RCFG,
+            init_cfg=InitConfig(num_points=64, capacity=64, svec_val=0.05,
+                                mean_std=0.4),
+            bg_cfg=BackgroundConfig(type="fixed"),
+            data_cfg=CameraSamplerConfig(batch_size=2, max_steps=10,
+                                         reso=(64,)),
+            guidance=MockGuidance(),
+            dcfg=DensifyConfig(enabled=False), pcfg=PruneConfig(enabled=False),
+            tile_mesh=tile_mesh)
+
+    t_sharded = build(mesh)
+    t_single = build(None)
+    m_s = t_sharded.train_step(0)
+    m_r = t_single.train_step(0)
+    # identical data (same seed) -> identical loss and updated params
+    np.testing.assert_allclose(float(m_s["loss_total"]),
+                               float(m_r["loss_total"]), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(t_sharded.state.scene.params.mean),
+        np.asarray(t_single.state.scene.params.mean), atol=1e-5)
