@@ -81,6 +81,25 @@ def load_config(path: str | Path, overrides: Optional[List[str]] = None
     return cfg
 
 
+def _build_backbone(g_d: Dict):
+    """Pop backbone config keys; None means MockUNet default."""
+    kind = g_d.pop("backbone", "mock")
+    preset = g_d.pop("backbone_preset", "tiny")
+    weights = g_d.pop("weights_path", None)
+    if kind == "mock":
+        return None
+    if kind == "sd_unet":
+        from .guidance.sd_unet import (SD15, SD21, TINY, SDUNetBackbone,
+                                       load_diffusers_weights)
+        cfg = {"tiny": TINY, "sd15": SD15, "sd21": SD21}[preset]
+        latent = 8 if preset == "tiny" else 64
+        bb = SDUNetBackbone(cfg, latent_size=latent)
+        if weights:
+            bb.params = load_diffusers_weights(weights, cfg)
+        return bb
+    raise NotImplementedError(f"backbone {kind}")
+
+
 def build_trainer(cfg: Dict, logger=None) -> Trainer:
     rcfg_d = dict(cfg.get("renderer", {}))
     dcfg_d = rcfg_d.pop("densify", {})
@@ -112,13 +131,15 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     elif g_type == "sds":
         prompt_processor = PromptProcessor(
             _from_dict(PromptProcessorConfig, prompt_d))
+        backbone = _build_backbone(g_d)
         scfg = _from_dict(SDSConfig, g_d)
-        guidance = SDSGuidance(scfg)
+        guidance = SDSGuidance(scfg, backbone)
     elif g_type == "vsd":
         from .guidance.vsd import VSDConfig, VSDGuidance
         prompt_processor = PromptProcessor(
             _from_dict(PromptProcessorConfig, prompt_d))
-        guidance = VSDGuidance(_from_dict(VSDConfig, g_d))
+        backbone = _build_backbone(g_d)
+        guidance = VSDGuidance(_from_dict(VSDConfig, g_d), backbone)
     else:
         raise NotImplementedError(f"guidance type {g_type}")
 
