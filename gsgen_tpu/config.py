@@ -148,8 +148,51 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
         from .priors import load_point_cloud
         init_points, init_colors = load_point_cloud(cfg["init_asset"])
 
-    return Trainer(cfg=tcfg, rcfg=rcfg, init_cfg=init_cfg, bg_cfg=bg_cfg,
-                   data_cfg=data_cfg, guidance=guidance, dcfg=dcfg,
-                   pcfg=pcfg, init_points=init_points,
-                   init_colors=init_colors,
-                   prompt_processor=prompt_processor, logger=logger)
+    # image-to-3D: image.path (+ optional depth/mask .npy) switches to a
+    # single-view sampler, image init with frozen front points, and the
+    # original-view photometric losses (reference sit3d mode)
+    extra = {}
+    img_d = cfg.get("image")
+    if img_d:
+        import dataclasses as _dc
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from .data.cameras import SingleViewCameraPoseProvider
+        from .ops.camera import CameraIntrinsics
+        from .training.sit3d import ImageTarget, image_initialize
+        import imageio.v2 as imageio
+        rgba = np.asarray(imageio.imread(img_d["path"])).astype(np.float32) / 255.0
+        rgb = rgba[..., :3]
+        mask = (rgba[..., 3] > 0.5 if rgba.shape[-1] == 4
+                else np.ones(rgba.shape[:2], bool))
+        if img_d.get("depth"):
+            depth = np.load(img_d["depth"]).astype(np.float32)
+        else:
+            depth = np.full(rgb.shape[:2],
+                            float(img_d.get("default_depth", 2.5)), np.float32)
+        target = ImageTarget(image=jnp.asarray(rgb), depth=jnp.asarray(depth),
+                             mask=jnp.asarray(mask))
+        reso = rgb.shape[0]
+        intr = CameraIntrinsics.from_reso(reso)
+        c2w = jnp.asarray(np.array(
+            [[0, 0, -1, float(img_d.get("distance", 2.5))],
+             [1, 0, 0, 0], [0, -1, 0, 0]], np.float32))  # front view (+x cam)
+        state, gmask = image_initialize(
+            jax.random.PRNGKey(tcfg.seed), init_cfg, rcfg, target, intr, c2w,
+            grad_mask=img_d.get("grad_mask", True))
+        extra = dict(image_target=target, grad_mask=gmask,
+                     mask_steps=tuple(img_d.get("mask_steps", (0, 1000))))
+
+    trainer = Trainer(cfg=tcfg, rcfg=rcfg, init_cfg=init_cfg, bg_cfg=bg_cfg,
+                      data_cfg=data_cfg, guidance=guidance, dcfg=dcfg,
+                      pcfg=pcfg, init_points=init_points,
+                      init_colors=init_colors,
+                      prompt_processor=prompt_processor, logger=logger,
+                      **extra)
+    if img_d:
+        trainer.state = trainer.state._replace(scene=state)
+        trainer.data = SingleViewCameraPoseProvider(
+            data_cfg, seed=tcfg.seed,
+            original_view_prob=float(img_d.get("original_view_prob", 0.5)))
+    return trainer
