@@ -128,9 +128,14 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     prompt_processor = None
     if g_type == "mock":
         guidance = MockGuidance(**g_d)
-    elif g_type == "sds":
+    elif g_type in ("sds", "deep_floyd", "if"):
         prompt_processor = PromptProcessor(
             _from_dict(PromptProcessorConfig, prompt_d))
+        if g_type in ("deep_floyd", "if"):
+            # DeepFloyd runs SDS in PIXEL space at 64^2 with CFG 20
+            # (reference guidance/deep_floyd.py:25-120, conf/guidance/if.yaml)
+            g_d.setdefault("rgb_as_latents", True)
+            g_d.setdefault("guidance_scale", 20.0)
         backbone = _build_backbone(g_d)
         scfg = _from_dict(SDSConfig, g_d)
         guidance = SDSGuidance(scfg, backbone)

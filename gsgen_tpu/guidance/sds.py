@@ -87,9 +87,15 @@ class SDSGuidance:
         k_t, k_noise = jax.random.split(key)
 
         if cfg.rgb_as_latents:
+            # pixel-space guidance (DeepFloyd style): latents ARE the
+            # (resized) image, channel-padded to the backbone width
             latents = jax.image.resize(
                 rgb, (B, bb.latent_size, bb.latent_size, rgb.shape[-1]),
                 "bilinear")
+            if latents.shape[-1] < bb.latent_channels:
+                pad = jnp.zeros(latents.shape[:3]
+                                + (bb.latent_channels - latents.shape[-1],))
+                latents = jnp.concatenate([latents, pad], axis=-1)
         else:
             imgs = jax.image.resize(
                 rgb, (B, bb.image_size, bb.image_size, 3), "bilinear")
