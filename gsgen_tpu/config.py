@@ -93,10 +93,9 @@ def _build_backbone(g_d: Dict):
                                        load_diffusers_weights)
         cfg = {"tiny": TINY, "sd15": SD15, "sd21": SD21}[preset]
         latent = 8 if preset == "tiny" else 64
-        bb = SDUNetBackbone(cfg, latent_size=latent)
         if weights:
-            bb.params = load_diffusers_weights(weights, cfg)
-        return bb
+            return load_diffusers_weights(weights, cfg, latent_size=latent)
+        return SDUNetBackbone(cfg, latent_size=latent)
     raise NotImplementedError(f"backbone {kind}")
 
 

@@ -1,248 +1,147 @@
-"""Stable-Diffusion-style UNet + VAE encoder in flax.
+"""Stable-Diffusion backbone: faithful flax UNet + VAE with a real
+diffusers weight loader.
 
-The real diffusion backbone behind :mod:`gsgen_tpu.guidance.sds` / vsd —
-the architecture the reference drives through HF diffusers
-(guidance/stable_diffusion.py:74-120 in gsgen3d/gsgen).  This is a
-faithful SD-2.x topology (ResBlocks + self/cross attention, sinusoidal
-time embedding, skip-connected down/up path) written directly in
-flax.linen; ``load_diffusers_weights`` maps locally-provisioned
-diffusers safetensors into the parameter tree (zero-egress environments
-cannot download them — until then ``preset="tiny"`` gives a structure-
-identical model for tests).
+This is the real-weight path behind :mod:`gsgen_tpu.guidance.sds` /
+:mod:`vsd` — the reference loads ``StableDiffusionPipeline`` from the
+HF Hub (reference guidance/stable_diffusion.py:74-120); here the same
+architecture lives in :mod:`unet2d` / :mod:`vae` (diffusers-exact
+parameter layout) and ``load_diffusers_weights`` maps locally
+provisioned safetensors through the mechanical rename in
+:mod:`convert` — no network, no torch required.
 
-Implements the same backbone interface as MockUNet:
-  .latent_size/.latent_channels/.image_size, .params
-  .encode_images(params, imgs) / .predict_noise(params, x_t, t, text)
+Backbone interface (same as MockUNet):
+  .latent_size / .latent_channels / .image_size, .params
+  .encode_images(params, imgs) / .predict_noise(params, x_t, t, text,
+      class_labels=None, lora_scale=1.0)
+  .decode_latents(params, latents)  (sample()/sample_lora visualisation)
 """
 
 from __future__ import annotations
 
-import dataclasses
-import math
-from typing import Optional, Sequence, Tuple
+import os
+from typing import Optional
 
-import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-
-def timestep_embedding(t: jax.Array, dim: int, max_period=10000.0):
-    """Sinusoidal embedding (diffusers get_timestep_embedding)."""
-    half = dim // 2
-    freqs = jnp.exp(-math.log(max_period)
-                    * jnp.arange(half, dtype=jnp.float32) / half)
-    args = t.astype(jnp.float32)[:, None] * freqs[None, :]
-    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+from .convert import (load_safetensors, torch_state_to_flax)
+from .unet2d import get_timestep_embedding
 
 
-class ResBlock(nn.Module):
-    out_ch: int
-    groups: int = 32
-
-    @nn.compact
-    def __call__(self, x, temb):
-        g = min(self.groups, x.shape[-1])
-        h = nn.silu(nn.GroupNorm(num_groups=g)(x))
-        h = nn.Conv(self.out_ch, (3, 3), padding=1)(h)
-        h = h + nn.Dense(self.out_ch)(nn.silu(temb))[:, None, None, :]
-        g2 = min(self.groups, self.out_ch)
-        h = nn.silu(nn.GroupNorm(num_groups=g2)(h))
-        h = nn.Conv(self.out_ch, (3, 3), padding=1)(h)
-        if x.shape[-1] != self.out_ch:
-            x = nn.Conv(self.out_ch, (1, 1))(x)
-        return x + h
+def timestep_embedding(t, dim, max_period=10000.0):
+    """Back-compat alias (sinusoidal embedding, diffusers layout)."""
+    return get_timestep_embedding(t, dim, flip_sin_to_cos=True,
+                                  max_period=max_period)
 
 
-class CrossAttention(nn.Module):
-    heads: int
-    head_dim: int
+from .unet2d import (IF_PIXEL, SD15, SD21, TINY, TINY_VSD, UNetConfig,
+                     UNet2DConditionModel)
+from .vae import SD_VAE, TINY_VAE, AutoencoderKL, VAEConfig
 
-    @nn.compact
-    def __call__(self, x, ctx):
-        # x [B, L, C]; ctx [B, S, D]
-        inner = self.heads * self.head_dim
-        q = nn.Dense(inner, use_bias=False)(x)
-        k = nn.Dense(inner, use_bias=False)(ctx)
-        v = nn.Dense(inner, use_bias=False)(ctx)
-        B, L, _ = q.shape
-        S = k.shape[1]
-        q = q.reshape(B, L, self.heads, self.head_dim)
-        k = k.reshape(B, S, self.heads, self.head_dim)
-        v = v.reshape(B, S, self.heads, self.head_dim)
-        attn = jnp.einsum("blhd,bshd->bhls", q, k) / math.sqrt(self.head_dim)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhls,bshd->blhd", attn, v).reshape(B, L, inner)
-        return nn.Dense(x.shape[-1])(out)
-
-
-class TransformerBlock(nn.Module):
-    heads: int
-    head_dim: int
-
-    @nn.compact
-    def __call__(self, x, ctx):
-        x = x + CrossAttention(self.heads, self.head_dim)(
-            nn.LayerNorm()(x), nn.LayerNorm()(x))          # self-attn
-        x = x + CrossAttention(self.heads, self.head_dim)(
-            nn.LayerNorm()(x), ctx)                        # cross-attn
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(4 * x.shape[-1])(h)
-        h = nn.gelu(h)
-        x = x + nn.Dense(x.shape[-1])(h)
-        return x
-
-
-class SpatialTransformer(nn.Module):
-    heads: int
-    head_dim: int
-
-    @nn.compact
-    def __call__(self, x, ctx):
-        B, H, W, C = x.shape
-        g = min(32, C)
-        h = nn.GroupNorm(num_groups=g)(x)
-        h = nn.Conv(C, (1, 1))(h).reshape(B, H * W, C)
-        h = TransformerBlock(self.heads, self.head_dim)(h, ctx)
-        h = nn.Conv(C, (1, 1))(h.reshape(B, H, W, C))
-        return x + h
-
-
-@dataclasses.dataclass(frozen=True)
-class UNetConfig:
-    in_channels: int = 4
-    out_channels: int = 4
-    block_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
-    layers_per_block: int = 2
-    attn_levels: Tuple[int, ...] = (0, 1, 2)   # levels with cross-attn
-    heads: int = 8
-    context_dim: int = 1024                    # 768 for SD1.5
-
-
-TINY = UNetConfig(block_channels=(32, 64), layers_per_block=1,
-                  attn_levels=(1,), heads=2, context_dim=1024)
-SD21 = UNetConfig()
-SD15 = UNetConfig(context_dim=768)
-
-
-class SDUNet(nn.Module):
-    cfg: UNetConfig
-
-    @nn.compact
-    def __call__(self, x, t, ctx):
-        c = self.cfg
-        tdim = c.block_channels[0] * 4
-        temb = timestep_embedding(t, c.block_channels[0])
-        temb = nn.Dense(tdim)(temb)
-        temb = nn.Dense(tdim)(nn.silu(temb))
-
-        def attn(level, h):
-            ch = c.block_channels[level]
-            return SpatialTransformer(c.heads, ch // c.heads)(h, ctx)
-
-        h = nn.Conv(c.block_channels[0], (3, 3), padding=1)(x)
-        skips = [h]
-        for lvl, ch in enumerate(c.block_channels):
-            for _ in range(c.layers_per_block):
-                h = ResBlock(ch)(h, temb)
-                if lvl in c.attn_levels:
-                    h = attn(lvl, h)
-                skips.append(h)
-            if lvl < len(c.block_channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=2, padding=1)(h)
-                skips.append(h)
-
-        h = ResBlock(c.block_channels[-1])(h, temb)
-        h = attn(len(c.block_channels) - 1, h) \
-            if (len(c.block_channels) - 1) in c.attn_levels else h
-        h = ResBlock(c.block_channels[-1])(h, temb)
-
-        for lvl in reversed(range(len(c.block_channels))):
-            ch = c.block_channels[lvl]
-            for _ in range(c.layers_per_block + 1):
-                h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = ResBlock(ch)(h, temb)
-                if lvl in c.attn_levels:
-                    h = attn(lvl, h)
-            if lvl > 0:
-                B, H, W, C = h.shape
-                h = jax.image.resize(h, (B, H * 2, W * 2, C), "nearest")
-                h = nn.Conv(ch, (3, 3), padding=1)(h)
-
-        g = min(32, h.shape[-1])
-        h = nn.silu(nn.GroupNorm(num_groups=g)(h))
-        return nn.Conv(c.out_channels, (3, 3), padding=1)(h)
-
-
-class VAEEncoder(nn.Module):
-    """SD VAE encoder (mean path only — SDS uses the mode/mean,
-    guidance/stable_diffusion.py encode_images)."""
-
-    latent_channels: int = 4
-    base: int = 32
-
-    @nn.compact
-    def __call__(self, imgs):
-        h = nn.Conv(self.base, (3, 3), padding=1)(imgs * 2.0 - 1.0)
-        for mult in (1, 2, 4, 4):
-            ch = self.base * mult
-            h = ResBlock(ch, groups=min(32, ch))(h, jnp.zeros((h.shape[0], 4)))
-            h = nn.Conv(ch, (3, 3), strides=2, padding=1)(h)
-        g = min(32, h.shape[-1])
-        h = nn.silu(nn.GroupNorm(num_groups=g)(h))
-        h = nn.Conv(2 * self.latent_channels, (3, 3), padding=1)(h)
-        mean = h[..., :self.latent_channels]
-        return mean * 0.18215      # SD scaling factor
+__all__ = ["SDUNetBackbone", "UNetConfig", "TINY", "TINY_VSD", "SD21",
+           "SD15", "IF_PIXEL", "load_diffusers_weights"]
 
 
 class SDUNetBackbone:
-    """Backbone-interface wrapper (drop-in for MockUNet in SDS/VSD)."""
+    """UNet (+VAE) pair behind the guidance stack.
+
+    ``vae_cfg=None`` gives the pixel-space variant (DeepFloyd style:
+    latents are the image itself)."""
 
     def __init__(self, cfg: UNetConfig = TINY, latent_size: int = 64,
-                 key: Optional[jax.Array] = None, use_vae: bool = True):
+                 key: Optional[jax.Array] = None, use_vae: bool = True,
+                 vae_cfg: Optional[VAEConfig] = None):
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.cfg = cfg
         self.latent_size = latent_size
         self.latent_channels = cfg.in_channels
-        self.image_size = latent_size * 16  # VAE downsamples 16x here
-        self.unet = SDUNet(cfg)
-        self.vae = VAEEncoder(latent_channels=cfg.in_channels) if use_vae \
-            else None
+        self.unet = UNet2DConditionModel(cfg)
+        if use_vae:
+            self.vae_cfg = vae_cfg or (
+                SD_VAE if cfg in (SD21, SD15) else TINY_VAE)
+            down = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+            self.image_size = latent_size * down
+            self.vae = AutoencoderKL(self.vae_cfg)
+        else:
+            self.vae_cfg = None
+            self.image_size = latent_size
+            self.vae = None
+
         x = jnp.zeros((1, latent_size, latent_size, cfg.in_channels))
-        ctx = jnp.zeros((1, 4, cfg.context_dim))
-        params = {"unet": self.unet.init(k1, x, jnp.zeros((1,)), ctx)}
+        ctx_dim = cfg.encoder_hid_dim or cfg.cross_attention_dim
+        ctx = jnp.zeros((1, 4, ctx_dim))
+        cls = (jnp.zeros((1, cfg.class_embed_proj_dim))
+               if cfg.class_embed_proj_dim else None)
+        params = {"unet": self.unet.init(k1, x, jnp.zeros((1,)), ctx,
+                                         class_labels=cls)}
         if self.vae is not None:
+            # full autoencode touches encoder+decoder+both quant convs;
+            # param shapes are resolution-independent, so init on a
+            # small dummy regardless of image_size
+            down = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
+            dummy = max(4 * down, 16)
             params["vae"] = self.vae.init(
-                k2, jnp.zeros((1, self.image_size, self.image_size, 3)))
+                k2, jnp.zeros((1, dummy, dummy, 3)))
         self.params = params
 
-    def encode_images(self, params, imgs):
+    def encode_images(self, params, imgs, key=None):
+        """[B,H,W,3] in [0,1] -> scaled latents (encode_images,
+        reference stable_diffusion.py:170-178)."""
         if self.vae is None:
             B = imgs.shape[0]
             x = jax.image.resize(
                 imgs, (B, self.latent_size, self.latent_size, 3), "bilinear")
-            pad = jnp.zeros(x.shape[:3] + (self.latent_channels - 3,))
-            return jnp.concatenate([x, pad], -1) * 2.0 - 1.0
-        return self.vae.apply(params["vae"], imgs)
+            if self.latent_channels > 3:
+                pad = jnp.zeros(x.shape[:3]
+                                + (self.latent_channels - 3,))
+                x = jnp.concatenate([x, pad], -1)
+            return x * 2.0 - 1.0
+        return self.vae.apply(params["vae"], imgs * 2.0 - 1.0, key,
+                              method=AutoencoderKL.encode)
 
-    def predict_noise(self, params, latents_noisy, t, text):
-        return self.unet.apply(params["unet"], latents_noisy, t, text)
+    def decode_latents(self, params, latents):
+        """Scaled latents -> [B,H,W,3] in [0,1] (decode_latents,
+        reference stable_diffusion_vsd.py:425-440)."""
+        if self.vae is None:
+            return jnp.clip(latents[..., :3] * 0.5 + 0.5, 0.0, 1.0)
+        img = self.vae.apply(params["vae"], latents,
+                             method=AutoencoderKL.decode)
+        return jnp.clip(img * 0.5 + 0.5, 0.0, 1.0)
+
+    def predict_noise(self, params, latents_noisy, t, text,
+                      class_labels=None, lora_scale: float = 1.0):
+        return self.unet.apply(params["unet"], latents_noisy, t, text,
+                               class_labels=class_labels,
+                               lora_scale=lora_scale)
 
 
-def load_diffusers_weights(path: str, cfg: UNetConfig = SD21):
-    """Map locally-provisioned diffusers safetensors into this tree.
+def load_diffusers_weights(path: str, cfg: UNetConfig = SD21,
+                           latent_size: int = 64,
+                           vae_cfg: Optional[VAEConfig] = None,
+                           use_vae: bool = True,
+                           key: Optional[jax.Array] = None
+                           ) -> SDUNetBackbone:
+    """Build a backbone and fill it from a local diffusers checkpoint.
 
-    The topology matches diffusers' UNet2DConditionModel (down_blocks /
-    mid_block / up_blocks with resnets+attentions in the same order), so
-    the mapping is positional; implement the rename table when weights
-    are provisioned — this raises a clear error until then.
+    ``path`` is a diffusers model directory (subfolders ``unet/`` and
+    ``vae/`` holding ``*.safetensors``) or a directory that itself
+    contains the UNet safetensors.  LoRA / class-embedding parameters
+    (absent from pretrained checkpoints by construction) keep their
+    fresh initialization.
+
+    Round-trip-tested against :func:`convert.flax_to_torch_state`
+    (tests/test_convert.py): serialize -> reload is bit-exact.
     """
-    import os
-    if not path or not os.path.exists(path):
-        raise FileNotFoundError(
-            f"diffusers weights not found at {path!r}; this environment "
-            "has no network egress. Provision unet/*.safetensors + "
-            "vae/*.safetensors locally.")
-    raise NotImplementedError(
-        "positional rename table lands with weight provisioning; "
-        "the architecture and interface are in place.")
+    unet_dir = os.path.join(path, "unet")
+    state = load_safetensors(unet_dir if os.path.isdir(unet_dir) else path)
+    bb = SDUNetBackbone(cfg, latent_size=latent_size, key=key,
+                        use_vae=use_vae, vae_cfg=vae_cfg)
+    bb.params = dict(bb.params)
+    bb.params["unet"] = torch_state_to_flax(state, bb.params["unet"])
+    if use_vae:
+        vae_dir = os.path.join(path, "vae")
+        vstate = load_safetensors(vae_dir if os.path.isdir(vae_dir)
+                                  else path)
+        bb.params["vae"] = torch_state_to_flax(vstate, bb.params["vae"])
+    return bb

@@ -1,0 +1,609 @@
+"""Diffusers-faithful UNet2DConditionModel in flax.
+
+The reference drives HF diffusers' ``UNet2DConditionModel`` through
+``StableDiffusionPipeline`` (reference guidance/stable_diffusion.py:74-120,
+stable_diffusion_vsd.py:84-179).  This module reimplements that exact
+architecture in flax.linen with a parameter tree in 1:1 bijection with
+the diffusers PyTorch state_dict, so locally-provisioned safetensors
+load through a mechanical rename (see :mod:`gsgen_tpu.guidance.convert`).
+
+Faithfulness notes (all verified against diffusers' modeling code):
+
+* ResnetBlock2D: norm1 -> silu -> conv1 -> (+ time_emb_proj(silu(temb)))
+  -> norm2 -> silu -> conv2, 1x1 ``conv_shortcut`` on channel change.
+* Transformer2DModel: GroupNorm(eps 1e-6) -> proj_in (Linear when
+  ``use_linear_projection`` — SD 2.x — else 1x1 Conv — SD 1.x) ->
+  BasicTransformerBlock xN -> proj_out.
+* BasicTransformerBlock: pre-LN self-attn (attn1), pre-LN cross-attn
+  (attn2), pre-LN GEGLU feed-forward (``ff.net.0.proj`` / ``ff.net.2``),
+  exact (erf) GELU.
+* Attention: to_q/to_k/to_v without bias, ``to_out.0`` with bias,
+  f32 softmax (SD 2.1's upcast_attention).
+* Per-level head counts (diffusers' ``attention_head_dim``): SD 2.x
+  (5, 10, 20, 20) with 64-d heads; SD 1.x 8 heads everywhere.
+* Optional extras used by guidance variants:
+  - ``class_embed_proj_dim``: diffusers class_embed_type="projection" —
+    a TimestepEmbedding applied straight to a vector condition.  VSD
+    camera conditioning (reference stable_diffusion_vsd.py:145-148
+    attaches TimestepEmbedding(16, 1280) as unet.class_embedding).
+  - ``encoder_hid_dim``: Linear projecting text-encoder states into the
+    cross-attention width (DeepFloyd IF's T5-4096 -> UNet, diffusers
+    ``encoder_hid_proj``).
+  - ``lora_rank``: LoRA adapters on every attention projection
+    (diffusers LoRAAttnProcessor: to_q/k/v/out down+up pairs;
+    reference stable_diffusion_vsd.py:151-179).  LoRA params live in
+    the same tree under ``*_lora`` and are skipped by the weight
+    loader; train them via an optax mask.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def get_timestep_embedding(timesteps: jax.Array, dim: int,
+                           flip_sin_to_cos: bool = True,
+                           downscale_freq_shift: float = 0.0,
+                           max_period: float = 10000.0) -> jax.Array:
+    """diffusers.embeddings.get_timestep_embedding, exactly."""
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    emb = timesteps.astype(jnp.float32)[:, None] * jnp.exp(exponent)[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+    if flip_sin_to_cos:
+        emb = jnp.concatenate([emb[:, half:], emb[:, :half]], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class TimestepEmbedding(nn.Module):
+    """diffusers TimestepEmbedding: linear_1 -> silu -> linear_2."""
+
+    time_embed_dim: int
+
+    def setup(self):
+        self.linear_1 = nn.Dense(self.time_embed_dim)
+        self.linear_2 = nn.Dense(self.time_embed_dim)
+
+    def __call__(self, sample):
+        return self.linear_2(nn.silu(self.linear_1(sample)))
+
+
+class LoRALinear(nn.Module):
+    """diffusers LoRALinearLayer: x @ down @ up (down ~N(0,1/rank), up=0)."""
+
+    out_features: int
+    rank: int
+
+    def setup(self):
+        self.down = nn.Dense(
+            self.rank, use_bias=False,
+            kernel_init=nn.initializers.normal(stddev=1.0 / self.rank))
+        self.up = nn.Dense(self.out_features, use_bias=False,
+                           kernel_init=nn.initializers.zeros)
+
+    def __call__(self, x):
+        return self.up(self.down(x))
+
+
+class Attention(nn.Module):
+    """diffusers Attention (to_q/k/v no-bias, to_out.0 with bias) with
+    optional LoRA adapters on each projection."""
+
+    heads: int
+    head_dim: int
+    out_dim: int
+    lora_rank: int = 0
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        self.to_q = nn.Dense(inner, use_bias=False)
+        self.to_k = nn.Dense(inner, use_bias=False)
+        self.to_v = nn.Dense(inner, use_bias=False)
+        self.to_out_0 = nn.Dense(self.out_dim)
+        if self.lora_rank:
+            self.to_q_lora = LoRALinear(inner, self.lora_rank)
+            self.to_k_lora = LoRALinear(inner, self.lora_rank)
+            self.to_v_lora = LoRALinear(inner, self.lora_rank)
+            self.to_out_lora = LoRALinear(self.out_dim, self.lora_rank)
+
+    def __call__(self, x, ctx=None, lora_scale: float = 1.0):
+        ctx = x if ctx is None else ctx
+        q = self.to_q(x)
+        k = self.to_k(ctx)
+        v = self.to_v(ctx)
+        if self.lora_rank:
+            q = q + lora_scale * self.to_q_lora(x)
+            k = k + lora_scale * self.to_k_lora(ctx)
+            v = v + lora_scale * self.to_v_lora(ctx)
+        B, L, _ = q.shape
+        S = k.shape[1]
+        q = q.reshape(B, L, self.heads, self.head_dim)
+        k = k.reshape(B, S, self.heads, self.head_dim)
+        v = v.reshape(B, S, self.heads, self.head_dim)
+        scale = 1.0 / math.sqrt(self.head_dim)
+        attn = jnp.einsum("blhd,bshd->bhls", q, k,
+                          preferred_element_type=jnp.float32) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+        attn = attn.astype(v.dtype)
+        out = jnp.einsum("bhls,bshd->blhd", attn, v)
+        out = out.reshape(B, L, self.heads * self.head_dim)
+        y = self.to_out_0(out)
+        if self.lora_rank:
+            y = y + lora_scale * self.to_out_lora(out)
+        return y
+
+
+class GEGLU(nn.Module):
+    """diffusers GEGLU: proj to 2*inner, split, h * gelu(gate)."""
+
+    inner_dim: int
+
+    def setup(self):
+        self.proj = nn.Dense(2 * self.inner_dim)
+
+    def __call__(self, x):
+        h, gate = jnp.split(self.proj(x), 2, axis=-1)
+        return h * gelu_exact(gate)
+
+
+class FeedForward(nn.Module):
+    """diffusers FeedForward (geglu): net.0 = GEGLU, net.2 = Linear."""
+
+    dim: int
+    mult: int = 4
+
+    def setup(self):
+        self.net_0 = GEGLU(self.dim * self.mult)
+        self.net_2 = nn.Dense(self.dim)
+
+    def __call__(self, x):
+        return self.net_2(self.net_0(x))
+
+
+class BasicTransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    head_dim: int
+    lora_rank: int = 0
+
+    def setup(self):
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.attn1 = Attention(self.heads, self.head_dim, self.dim,
+                               self.lora_rank)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.attn2 = Attention(self.heads, self.head_dim, self.dim,
+                               self.lora_rank)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        self.ff = FeedForward(self.dim)
+
+    def __call__(self, x, ctx, lora_scale: float = 1.0):
+        x = x + self.attn1(self.norm1(x), None, lora_scale)
+        x = x + self.attn2(self.norm2(x), ctx, lora_scale)
+        x = x + self.ff(self.norm3(x))
+        return x
+
+
+class Transformer2DModel(nn.Module):
+    in_channels: int
+    heads: int
+    head_dim: int
+    depth: int = 1
+    use_linear_projection: bool = True
+    lora_rank: int = 0
+
+    def setup(self):
+        inner = self.heads * self.head_dim
+        self.norm = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        if self.use_linear_projection:
+            self.proj_in = nn.Dense(inner)
+            self.proj_out = nn.Dense(self.in_channels)
+        else:
+            self.proj_in = nn.Conv(inner, (1, 1))
+            self.proj_out = nn.Conv(self.in_channels, (1, 1))
+        self.transformer_blocks = [
+            BasicTransformerBlock(inner, self.heads, self.head_dim,
+                                  self.lora_rank)
+            for _ in range(self.depth)]
+
+    def __call__(self, x, ctx, lora_scale: float = 1.0):
+        B, H, W, C = x.shape
+        res = x
+        h = self.norm(x)
+        if self.use_linear_projection:
+            h = self.proj_in(h.reshape(B, H * W, C))
+        else:
+            h = self.proj_in(h).reshape(B, H * W, -1)
+        for blk in self.transformer_blocks:
+            h = blk(h, ctx, lora_scale)
+        if self.use_linear_projection:
+            h = self.proj_out(h).reshape(B, H, W, C)
+        else:
+            h = self.proj_out(h.reshape(B, H, W, -1))
+        return h + res
+
+
+class ResnetBlock2D(nn.Module):
+    out_channels: int
+    use_temb: bool = True
+    eps: float = 1e-5
+    groups: int = 32
+
+    def setup(self):
+        self.norm1 = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps)
+        self.conv1 = nn.Conv(self.out_channels, (3, 3), padding=1)
+        if self.use_temb:
+            self.time_emb_proj = nn.Dense(self.out_channels)
+        self.norm2 = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps)
+        self.conv2 = nn.Conv(self.out_channels, (3, 3), padding=1)
+
+    def __call__(self, x, temb=None):
+        h = nn.silu(self.norm1(x))
+        h = self.conv1(h)
+        if self.use_temb and temb is not None:
+            h = h + self.time_emb_proj(nn.silu(temb))[:, None, None, :]
+        h = nn.silu(self.norm2(h))
+        h = self.conv2(h)
+        return x + h
+
+
+class ResnetBlock2DShortcut(ResnetBlock2D):
+    """ResnetBlock2D variant that declares the 1x1 conv_shortcut.
+
+    flax setup() must declare submodules statically, so channel-changing
+    blocks use this subclass (parameter name matches diffusers'
+    ``conv_shortcut``)."""
+
+    def setup(self):
+        super().setup()
+        self.conv_shortcut = nn.Conv(self.out_channels, (1, 1))
+
+    def __call__(self, x, temb=None):
+        h = nn.silu(self.norm1(x))
+        h = self.conv1(h)
+        if self.use_temb and temb is not None:
+            h = h + self.time_emb_proj(nn.silu(temb))[:, None, None, :]
+        h = nn.silu(self.norm2(h))
+        h = self.conv2(h)
+        return self.conv_shortcut(x) + h
+
+
+def make_resnet(in_ch: int, out_ch: int, use_temb: bool = True,
+                eps: float = 1e-5, groups: int = 32):
+    cls = ResnetBlock2D if in_ch == out_ch else ResnetBlock2DShortcut
+    return cls(out_channels=out_ch, use_temb=use_temb, eps=eps,
+               groups=groups)
+
+
+class Downsample2D(nn.Module):
+    """diffusers Downsample2D (conv stride 2).  UNet uses symmetric
+    padding 1; the VAE encoder pads asymmetrically (0,1)x(0,1)."""
+
+    channels: int
+    asym_pad: bool = False
+
+    def setup(self):
+        pad = [(0, 1), (0, 1)] if self.asym_pad else [(1, 1), (1, 1)]
+        self.conv = nn.Conv(self.channels, (3, 3), strides=(2, 2),
+                            padding=pad)
+
+    def __call__(self, x):
+        return self.conv(x)
+
+
+class Upsample2D(nn.Module):
+    """diffusers Upsample2D: nearest 2x then 3x3 conv."""
+
+    channels: int
+
+    def setup(self):
+        self.conv = nn.Conv(self.channels, (3, 3), padding=1)
+
+    def __call__(self, x):
+        B, H, W, C = x.shape
+        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), "nearest")
+        return self.conv(x)
+
+
+class CrossAttnDownBlock2D(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_layers: int
+    heads: int
+    head_dim: int
+    add_downsample: bool = True
+    use_linear_projection: bool = True
+    lora_rank: int = 0
+    transformer_depth: int = 1
+
+    def setup(self):
+        self.resnets = [
+            make_resnet(self.in_channels if i == 0 else self.out_channels,
+                        self.out_channels)
+            for i in range(self.num_layers)]
+        self.attentions = [
+            Transformer2DModel(self.out_channels, self.heads, self.head_dim,
+                               self.transformer_depth,
+                               self.use_linear_projection, self.lora_rank)
+            for _ in range(self.num_layers)]
+        if self.add_downsample:
+            self.downsamplers_0 = Downsample2D(self.out_channels)
+
+    def __call__(self, x, temb, ctx, lora_scale=1.0):
+        skips = []
+        for res, attn in zip(self.resnets, self.attentions):
+            x = res(x, temb)
+            x = attn(x, ctx, lora_scale)
+            skips.append(x)
+        if self.add_downsample:
+            x = self.downsamplers_0(x)
+            skips.append(x)
+        return x, skips
+
+
+class DownBlock2D(nn.Module):
+    in_channels: int
+    out_channels: int
+    num_layers: int
+    add_downsample: bool = True
+
+    def setup(self):
+        self.resnets = [
+            make_resnet(self.in_channels if i == 0 else self.out_channels,
+                        self.out_channels)
+            for i in range(self.num_layers)]
+        if self.add_downsample:
+            self.downsamplers_0 = Downsample2D(self.out_channels)
+
+    def __call__(self, x, temb, ctx=None, lora_scale=1.0):
+        skips = []
+        for res in self.resnets:
+            x = res(x, temb)
+            skips.append(x)
+        if self.add_downsample:
+            x = self.downsamplers_0(x)
+            skips.append(x)
+        return x, skips
+
+
+class UNetMidBlock2DCrossAttn(nn.Module):
+    channels: int
+    heads: int
+    head_dim: int
+    use_linear_projection: bool = True
+    lora_rank: int = 0
+    transformer_depth: int = 1
+
+    def setup(self):
+        self.resnets = [make_resnet(self.channels, self.channels),
+                        make_resnet(self.channels, self.channels)]
+        self.attentions = [
+            Transformer2DModel(self.channels, self.heads, self.head_dim,
+                               self.transformer_depth,
+                               self.use_linear_projection, self.lora_rank)]
+
+    def __call__(self, x, temb, ctx, lora_scale=1.0):
+        x = self.resnets[0](x, temb)
+        x = self.attentions[0](x, ctx, lora_scale)
+        x = self.resnets[1](x, temb)
+        return x
+
+
+class CrossAttnUpBlock2D(nn.Module):
+    in_channels: int        # channel count arriving from below
+    out_channels: int
+    prev_output_channel: int
+    num_layers: int
+    heads: int
+    head_dim: int
+    add_upsample: bool = True
+    use_linear_projection: bool = True
+    lora_rank: int = 0
+    transformer_depth: int = 1
+
+    def setup(self):
+        resnets = []
+        for i in range(self.num_layers):
+            res_skip = self.in_channels if i == self.num_layers - 1 \
+                else self.out_channels
+            res_in = self.prev_output_channel if i == 0 else self.out_channels
+            resnets.append(make_resnet(res_in + res_skip, self.out_channels))
+        self.resnets = resnets
+        self.attentions = [
+            Transformer2DModel(self.out_channels, self.heads, self.head_dim,
+                               self.transformer_depth,
+                               self.use_linear_projection, self.lora_rank)
+            for _ in range(self.num_layers)]
+        if self.add_upsample:
+            self.upsamplers_0 = Upsample2D(self.out_channels)
+
+    def __call__(self, x, skips, temb, ctx, lora_scale=1.0):
+        for res, attn in zip(self.resnets, self.attentions):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = res(x, temb)
+            x = attn(x, ctx, lora_scale)
+        if self.add_upsample:
+            x = self.upsamplers_0(x)
+        return x
+
+
+class UpBlock2D(nn.Module):
+    in_channels: int
+    out_channels: int
+    prev_output_channel: int
+    num_layers: int
+    add_upsample: bool = True
+
+    def setup(self):
+        resnets = []
+        for i in range(self.num_layers):
+            res_skip = self.in_channels if i == self.num_layers - 1 \
+                else self.out_channels
+            res_in = self.prev_output_channel if i == 0 else self.out_channels
+            resnets.append(make_resnet(res_in + res_skip, self.out_channels))
+        self.resnets = resnets
+        if self.add_upsample:
+            self.upsamplers_0 = Upsample2D(self.out_channels)
+
+    def __call__(self, x, skips, temb, ctx=None, lora_scale=1.0):
+        for res in self.resnets:
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = res(x, temb)
+        if self.add_upsample:
+            x = self.upsamplers_0(x)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """Mirrors diffusers UNet2DConditionModel config (SD subset)."""
+
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    cross_attention_dim: int = 1024
+    # per-level head count (diffusers calls this attention_head_dim)
+    attention_head_dim: Tuple[int, ...] = (5, 10, 20, 20)
+    # levels with cross-attention blocks (True -> CrossAttnDownBlock2D)
+    cross_attn_levels: Tuple[bool, ...] = (True, True, True, False)
+    use_linear_projection: bool = True
+    flip_sin_to_cos: bool = True
+    freq_shift: float = 0.0
+    # extras
+    class_embed_proj_dim: Optional[int] = None   # VSD camera TimestepEmbedding
+    encoder_hid_dim: Optional[int] = None        # IF: T5 width
+    lora_rank: int = 0
+
+
+# SD 2.1 / 2.1-base (stabilityai/stable-diffusion-2-1*/unet/config.json)
+SD21 = UNetConfig()
+# SD 1.4/1.5 (runwayml/stable-diffusion-v1-5)
+SD15 = UNetConfig(cross_attention_dim=768, attention_head_dim=(8, 8, 8, 8),
+                  use_linear_projection=False)
+# DeepFloyd-IF-style pixel-space preset: 3->6 channels (eps + variance),
+# T5 hidden states projected via encoder_hid_proj.  NOTE: real IF-I-XL
+# uses Simple/ResnetDownsample block types; this preset keeps the SD
+# block family (documented delta) but matches the guidance-visible
+# interface: 6-channel output, T5 conditioning, pixel space.
+IF_PIXEL = UNetConfig(in_channels=3, out_channels=6,
+                      block_out_channels=(64, 128, 256, 256),
+                      layers_per_block=2,
+                      cross_attention_dim=256,
+                      attention_head_dim=(8, 8, 8, 8),
+                      cross_attn_levels=(False, True, True, True),
+                      encoder_hid_dim=4096)
+TINY = UNetConfig(block_out_channels=(32, 64), layers_per_block=1,
+                  cross_attention_dim=1024, attention_head_dim=(2, 2),
+                  cross_attn_levels=(True, True))
+TINY_VSD = dataclasses.replace(TINY, class_embed_proj_dim=16, lora_rank=4)
+
+
+class UNet2DConditionModel(nn.Module):
+    """Flax UNet2DConditionModel; parameter paths mirror diffusers keys."""
+
+    cfg: UNetConfig
+
+    def setup(self):
+        c = self.cfg
+        ch0 = c.block_out_channels[0]
+        tdim = ch0 * 4
+        self.conv_in = nn.Conv(ch0, (3, 3), padding=1)
+        self.time_embedding = TimestepEmbedding(tdim)
+        if c.class_embed_proj_dim is not None:
+            self.class_embedding = TimestepEmbedding(tdim)
+        if c.encoder_hid_dim is not None:
+            self.encoder_hid_proj = nn.Dense(c.cross_attention_dim)
+
+        down = []
+        out_ch = ch0
+        for lvl, ch in enumerate(c.block_out_channels):
+            in_ch = out_ch
+            out_ch = ch
+            last = lvl == len(c.block_out_channels) - 1
+            if c.cross_attn_levels[lvl]:
+                heads = c.attention_head_dim[lvl]
+                down.append(CrossAttnDownBlock2D(
+                    in_ch, ch, c.layers_per_block, heads, ch // heads,
+                    add_downsample=not last,
+                    use_linear_projection=c.use_linear_projection,
+                    lora_rank=c.lora_rank))
+            else:
+                down.append(DownBlock2D(in_ch, ch, c.layers_per_block,
+                                        add_downsample=not last))
+        self.down_blocks = down
+
+        mid_heads = c.attention_head_dim[-1]
+        mid_ch = c.block_out_channels[-1]
+        self.mid_block = UNetMidBlock2DCrossAttn(
+            mid_ch, mid_heads, mid_ch // mid_heads,
+            use_linear_projection=c.use_linear_projection,
+            lora_rank=c.lora_rank)
+
+        up = []
+        rev = list(reversed(c.block_out_channels))
+        rev_attn = list(reversed(c.cross_attn_levels))
+        rev_heads = list(reversed(c.attention_head_dim))
+        prev = rev[0]
+        for lvl, ch in enumerate(rev):
+            in_ch = rev[min(lvl + 1, len(rev) - 1)]
+            last = lvl == len(rev) - 1
+            if rev_attn[lvl]:
+                heads = rev_heads[lvl]
+                up.append(CrossAttnUpBlock2D(
+                    in_ch, ch, prev, c.layers_per_block + 1, heads,
+                    ch // heads, add_upsample=not last,
+                    use_linear_projection=c.use_linear_projection,
+                    lora_rank=c.lora_rank))
+            else:
+                up.append(UpBlock2D(in_ch, ch, prev, c.layers_per_block + 1,
+                                    add_upsample=not last))
+            prev = ch
+        self.up_blocks = up
+
+        self.conv_norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+        self.conv_out = nn.Conv(c.out_channels, (3, 3), padding=1)
+
+    def __call__(self, sample, timesteps, encoder_hidden_states,
+                 class_labels=None, lora_scale: float = 1.0):
+        """sample [B,H,W,C] (NHWC), timesteps [B], states [B,S,D]."""
+        c = self.cfg
+        temb = get_timestep_embedding(
+            timesteps, c.block_out_channels[0],
+            flip_sin_to_cos=c.flip_sin_to_cos,
+            downscale_freq_shift=c.freq_shift)
+        temb = self.time_embedding(temb)
+        if c.class_embed_proj_dim is not None and class_labels is not None:
+            temb = temb + self.class_embedding(class_labels)
+        ctx = encoder_hidden_states
+        if c.encoder_hid_dim is not None:
+            ctx = self.encoder_hid_proj(ctx)
+
+        h = self.conv_in(sample)
+        skips = [h]
+        for blk in self.down_blocks:
+            h, s = blk(h, temb, ctx, lora_scale)
+            skips.extend(s)
+
+        h = self.mid_block(h, temb, ctx, lora_scale)
+
+        for lvl, blk in enumerate(self.up_blocks):
+            n = c.layers_per_block + 1
+            blk_skips = skips[-n:]
+            del skips[-n:]
+            h = blk(h, blk_skips, temb, ctx, lora_scale)
+
+        h = nn.silu(self.conv_norm_out(h))
+        return self.conv_out(h)
