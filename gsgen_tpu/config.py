@@ -81,6 +81,14 @@ def load_config(path: str | Path, overrides: Optional[List[str]] = None
     return cfg
 
 
+def _build_prompt_processor(prompt_d: Dict) -> PromptProcessor:
+    """PromptProcessor with a real CLIP/T5 encoder when prompt.model_id
+    points at a local model dir (mock embeddings otherwise)."""
+    pcfg = _from_dict(PromptProcessorConfig, prompt_d)
+    from .prompt.encoders import build_encode_fn
+    return PromptProcessor(pcfg, encode_fn=build_encode_fn(pcfg.model_id))
+
+
 def _build_backbone(g_d: Dict):
     """Pop backbone config keys; None means MockUNet default."""
     kind = g_d.pop("backbone", "mock")
@@ -128,8 +136,7 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     if g_type == "mock":
         guidance = MockGuidance(**g_d)
     elif g_type in ("sds", "deep_floyd", "if"):
-        prompt_processor = PromptProcessor(
-            _from_dict(PromptProcessorConfig, prompt_d))
+        prompt_processor = _build_prompt_processor(prompt_d)
         if g_type in ("deep_floyd", "if"):
             # DeepFloyd runs SDS in PIXEL space at 64^2 with CFG 20
             # (reference guidance/deep_floyd.py:25-120, conf/guidance/if.yaml)
@@ -140,8 +147,7 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
         guidance = SDSGuidance(scfg, backbone)
     elif g_type == "vsd":
         from .guidance.vsd import VSDConfig, VSDGuidance
-        prompt_processor = PromptProcessor(
-            _from_dict(PromptProcessorConfig, prompt_d))
+        prompt_processor = _build_prompt_processor(prompt_d)
         backbone = _build_backbone(g_d)
         guidance = VSDGuidance(_from_dict(VSDConfig, g_d), backbone)
     else:

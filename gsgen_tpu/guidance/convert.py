@@ -62,8 +62,8 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
     prefix = ".".join(flax_name_to_torch(p) for p in mods)
     if leaf == "kernel":
         return f"{prefix}.weight", "kernel"
-    if leaf == "scale":
-        return f"{prefix}.weight", "scale"
+    if leaf in ("scale", "weight"):    # norm scale (T5LayerNorm names
+        return f"{prefix}.weight", "scale"   # its param "weight")
     if leaf == "embedding":
         return f"{prefix}.weight", "embedding"
     if leaf == "bias":
