@@ -89,21 +89,35 @@ def _build_prompt_processor(prompt_d: Dict) -> PromptProcessor:
     return PromptProcessor(pcfg, encode_fn=build_encode_fn(pcfg.model_id))
 
 
-def _build_backbone(g_d: Dict):
-    """Pop backbone config keys; None means MockUNet default."""
+def _build_backbone(g_d: Dict, vsd: Optional[Dict] = None):
+    """Pop backbone config keys; None means MockUNet default.
+
+    ``vsd`` (lora_rank, camera_condition_dim) upgrades the UNet preset
+    with attention-LoRA adapters + a camera class embedding — the
+    reference attaches LoRAAttnProcessor + TimestepEmbedding(16, 1280)
+    to unet_lora (stable_diffusion_vsd.py:145-179)."""
     kind = g_d.pop("backbone", "mock")
     preset = g_d.pop("backbone_preset", "tiny")
     weights = g_d.pop("weights_path", None)
     if kind == "mock":
         return None
     if kind == "sd_unet":
-        from .guidance.sd_unet import (SD15, SD21, TINY, SDUNetBackbone,
+        from .guidance.sd_unet import (IF_PIXEL, SD15, SD21, TINY,
+                                       SDUNetBackbone,
                                        load_diffusers_weights)
-        cfg = {"tiny": TINY, "sd15": SD15, "sd21": SD21}[preset]
+        cfg = {"tiny": TINY, "sd15": SD15, "sd21": SD21,
+               "if_pixel": IF_PIXEL}[preset]
+        if vsd:
+            cfg = dataclasses.replace(
+                cfg, lora_rank=int(vsd.get("lora_rank", 4)),
+                class_embed_proj_dim=int(
+                    vsd.get("camera_condition_dim", 16)))
         latent = 8 if preset == "tiny" else 64
+        use_vae = preset != "if_pixel"
         if weights:
-            return load_diffusers_weights(weights, cfg, latent_size=latent)
-        return SDUNetBackbone(cfg, latent_size=latent)
+            return load_diffusers_weights(weights, cfg, latent_size=latent,
+                                          use_vae=use_vae)
+        return SDUNetBackbone(cfg, latent_size=latent, use_vae=use_vae)
     raise NotImplementedError(f"backbone {kind}")
 
 
@@ -148,7 +162,10 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     elif g_type == "vsd":
         from .guidance.vsd import VSDConfig, VSDGuidance
         prompt_processor = _build_prompt_processor(prompt_d)
-        backbone = _build_backbone(g_d)
+        backbone = _build_backbone(
+            g_d, vsd={"lora_rank": g_d.get("lora_rank", 4),
+                      "camera_condition_dim":
+                          g_d.get("camera_condition_dim", 16)})
         guidance = VSDGuidance(_from_dict(VSDConfig, g_d), backbone)
     else:
         raise NotImplementedError(f"guidance type {g_type}")

@@ -112,8 +112,9 @@ class SDWeightsNotAvailable(RuntimeError):
             "development (same guidance code path).")
 
 
-def load_sd_backbone(weights_path: Optional[str] = None):
-    """Load a real SD UNet+VAE from local flax/safetensors weights.
+def load_sd_backbone(weights_path: Optional[str] = None, preset: str = "sd21",
+                     latent_size: int = 64, **kw):
+    """Load a real SD UNet+VAE from local diffusers safetensors.
 
     Interface-compatible with MockUNet; raises a clear error when the
     weights are absent (reference downloads from HF Hub,
@@ -122,6 +123,7 @@ def load_sd_backbone(weights_path: Optional[str] = None):
     import os
     if not weights_path or not os.path.exists(weights_path):
         raise SDWeightsNotAvailable(str(weights_path))
-    raise NotImplementedError(
-        "flax SD UNet loader lands with the weight provisioning story; "
-        "the guidance stack is backbone-agnostic (see MockUNet).")
+    from .sd_unet import SD15, SD21, TINY, load_diffusers_weights
+    cfg = {"tiny": TINY, "sd15": SD15, "sd21": SD21}[preset]
+    return load_diffusers_weights(weights_path, cfg,
+                                  latent_size=latent_size, **kw)

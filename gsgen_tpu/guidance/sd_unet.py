@@ -71,8 +71,12 @@ class SDUNetBackbone:
         x = jnp.zeros((1, latent_size, latent_size, cfg.in_channels))
         ctx_dim = cfg.encoder_hid_dim or cfg.cross_attention_dim
         ctx = jnp.zeros((1, 4, ctx_dim))
-        cls = (jnp.zeros((1, cfg.class_embed_proj_dim))
-               if cfg.class_embed_proj_dim else None)
+        if cfg.class_embed_type == "timestep":
+            cls = jnp.zeros((1,), jnp.int32)
+        elif cfg.class_embed_proj_dim:
+            cls = jnp.zeros((1, cfg.class_embed_proj_dim))
+        else:
+            cls = None
         params = {"unet": self.unet.init(k1, x, jnp.zeros((1,)), ctx,
                                          class_labels=cls)}
         if self.vae is not None:

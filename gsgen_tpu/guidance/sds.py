@@ -105,6 +105,18 @@ class SDSGuidance:
         noise = jax.random.normal(k_noise, latents.shape)
         latents_noisy = self.schedule.add_noise(latents, noise, t)
 
+        C_lat = latents.shape[-1]
+
+        def split_variance(eps):
+            # IF-style nets predict (eps, variance) stacked on channels
+            # (reference deep_floyd.py:147,174-181: split(3, dim=1) per
+            # CFG chunk before combining — channel-slicing the raw
+            # output first is identical); variance only steers ancestral
+            # sampling, never the SDS gradient.
+            if eps.shape[-1] == 2 * C_lat:
+                return eps[..., :C_lat]
+            return eps
+
         def no_grad_eps(latents_noisy):
             ln = jax.lax.stop_gradient(latents_noisy)
             if cfg.use_perp_negative:
@@ -112,7 +124,7 @@ class SDSGuidance:
                     elevation, azimuth, camera_distance)
                 lat4 = jnp.concatenate([ln] * 4, axis=0)
                 t4 = jnp.concatenate([t] * 4, axis=0)
-                eps = bb.predict_noise(params, lat4, t4, emb)
+                eps = split_variance(bb.predict_noise(params, lat4, t4, emb))
                 eps_text = eps[:B]
                 eps_uncond = eps[B:2 * B]
                 eps_neg = eps[2 * B:]
@@ -128,7 +140,7 @@ class SDSGuidance:
                 cfg.use_view_dependent_prompt)
             lat2 = jnp.concatenate([ln] * 2, axis=0)
             t2 = jnp.concatenate([t] * 2, axis=0)
-            eps = bb.predict_noise(params, lat2, t2, emb)
+            eps = split_variance(bb.predict_noise(params, lat2, t2, emb))
             eps_text, eps_uncond = eps[:B], eps[B:]
             # reference combines as text + s*(text - uncond)  (:231-234)
             return eps_text + cfg.guidance_scale * (eps_text - eps_uncond)

@@ -484,6 +484,11 @@ class UNetConfig:
     freq_shift: float = 0.0
     # extras
     class_embed_proj_dim: Optional[int] = None   # VSD camera TimestepEmbedding
+    # "projection": class_labels is a vector fed straight to the
+    # TimestepEmbedding (VSD camera).  "timestep": class_labels is an
+    # integer (IF-II noise_level) run through the sinusoidal embedding
+    # first (diffusers class_embed_type="timestep").
+    class_embed_type: str = "projection"
     encoder_hid_dim: Optional[int] = None        # IF: T5 width
     lora_rank: int = 0
 
@@ -522,7 +527,8 @@ class UNet2DConditionModel(nn.Module):
         tdim = ch0 * 4
         self.conv_in = nn.Conv(ch0, (3, 3), padding=1)
         self.time_embedding = TimestepEmbedding(tdim)
-        if c.class_embed_proj_dim is not None:
+        if c.class_embed_proj_dim is not None or \
+                c.class_embed_type == "timestep":
             self.class_embedding = TimestepEmbedding(tdim)
         if c.encoder_hid_dim is not None:
             self.encoder_hid_proj = nn.Dense(c.cross_attention_dim)
@@ -585,8 +591,15 @@ class UNet2DConditionModel(nn.Module):
             flip_sin_to_cos=c.flip_sin_to_cos,
             downscale_freq_shift=c.freq_shift)
         temb = self.time_embedding(temb)
-        if c.class_embed_proj_dim is not None and class_labels is not None:
-            temb = temb + self.class_embedding(class_labels)
+        if class_labels is not None:
+            if c.class_embed_type == "timestep":
+                cl = get_timestep_embedding(
+                    class_labels, c.block_out_channels[0],
+                    flip_sin_to_cos=c.flip_sin_to_cos,
+                    downscale_freq_shift=c.freq_shift)
+                temb = temb + self.class_embedding(cl)
+            elif c.class_embed_proj_dim is not None:
+                temb = temb + self.class_embedding(class_labels)
         ctx = encoder_hidden_states
         if c.encoder_hid_dim is not None:
             ctx = self.encoder_hid_proj(ctx)

@@ -4,20 +4,29 @@ Port of guidance/stable_diffusion_vsd.py:52-676 in gsgen3d/gsgen over
 the pluggable backbone:
 
 * two eps-predictions per step: the frozen pretrained model at CFG
-  scale ``guidance_scale`` (7.5) and a LoRA-adapted copy at CFG 1
-  conditioned on the camera (:388-460),
+  scale ``guidance_scale`` (view-dependent prompts, LoRA scale 0,
+  class embedding disabled — the reference's single_model path,
+  :446-480) and the LoRA-adapted copy at ``guidance_scale_lora``
+  conditioned on the camera (:485-530),
 * grad = w(t) (ε_pretrain_cfg − ε_lora) applied via the reparam trick,
 * the LoRA branch trains with the standard denoising loss on renders
-  (``train_lora``, :462-500) with 10% camera-condition dropout
-  (lora_cfg_training),
-* camera conditioning = flattened c2w through a learned embedding (the
-  reference uses TimestepEmbedding(16, 1280), :145-148).
+  (``train_lora``, :537-581) using view-INDEPENDENT conditional text,
+  t ~ U[0, T), and 10% whole-batch camera-condition dropout,
+* camera conditioning: the [3,4] c2w padded with [0,0,0,1] and
+  flattened to [B,16], fed through the UNet's class embedding — a
+  TimestepEmbedding(16, 1280) exactly like the reference attaches to
+  ``unet_lora.class_embedding`` (:145-148),
+* LoRA adapters on every attention projection (q/k/v/out down+up,
+  diffusers LoRAAttnProcessor, :151-179) — these live inside the flax
+  UNet parameter tree (see unet2d.Attention) and the trainable subtree
+  is extracted here and optimized by the Trainer's ``gp`` pytree,
+* ``sample`` / ``sample_lora`` visualization (:300-395) via a jitted
+  DDIM loop (the reference uses DPMSolver++ 25 steps; DDIM at the same
+  step count is the documented delta).
 
-LoRA here is an additive low-rank adapter over the backbone's noise
-prediction; for a real SD UNet backbone the adapters attach to the
-attention projections exactly like diffusers' LoRAAttnProcessor
-(:151-179) — the interface (frozen, train) is already threaded through
-the trainer.
+For the MockUNet test backbone (no attention layers) a small additive
+conditioned low-rank adapter stands in so the identical trainer code
+path (frozen/train split, lr_guidance, loss_lora) is exercised.
 """
 
 from __future__ import annotations
@@ -32,20 +41,31 @@ from ..prompt.processors import PromptEmbedding
 from .diffusion import MockUNet, NoiseSchedule, scaled_linear_schedule
 
 
+def _pad_c2w16(c2ws: jax.Array) -> jax.Array:
+    """[B,3,4] camera-to-world -> flattened homogeneous [B,16]
+    (reference forward():629-633 pads the last row)."""
+    B = c2ws.shape[0]
+    last = jnp.tile(jnp.asarray([0.0, 0.0, 0.0, 1.0]), (B, 1))
+    return jnp.concatenate([c2ws.reshape(B, -1), last], axis=-1)
+
+
 @dataclasses.dataclass
 class VSDConfig:
     """conf/guidance/vsd.yaml defaults."""
 
     guidance_scale: float = 7.5
+    guidance_scale_lora: float = 1.0
     lora_cfg_training: bool = True
     lora_cfg_drop_prob: float = 0.1
+    lora_n_timestamp_samples: int = 1
     use_view_dependent_prompt: bool = True
     min_step_percent: float = 0.02
     max_step_percent: object = 0.98
     weighting_strategy: str = "sds"
-    camera_condition_dim: int = 12      # flattened [3, 4] c2w
+    camera_condition_dim: int = 16      # flattened homogeneous c2w
     backbone_latent_size: int = 64   # MockUNet size knob (tests/bench)
-    lora_rank: int = 8
+    lora_rank: int = 4
+    lr_lora: float = 1e-4
     grad_clip: Optional[float] = None
 
 
@@ -65,19 +85,35 @@ class VSDGuidance:
         self.schedule = schedule or scaled_linear_schedule()
         self.frozen_params = self.backbone.params
         self.params = self.backbone.params
-        key = key if key is not None else jax.random.PRNGKey(42)
-        k1, k2, k3 = jax.random.split(key, 3)
-        c = self.backbone.latent_channels
-        r = cfg.lora_rank
-        hid = 32
-        # additive conditioned low-rank adapter: eps_lora = eps_base +
-        # up( act( down(latents) + cam_proj(cond) + t_proj ) )
-        self.trainable_params = {
-            "down": jax.random.normal(k1, (c, r)) * 0.05,
-            "up": jnp.zeros((r, c)),
-            "cam": jax.random.normal(k2, (cfg.camera_condition_dim, r)) * 0.05,
-            "cam_b": jnp.zeros((r,)),
-        }
+        # faithful path: real UNet with LoRA attention adapters + camera
+        # class embedding inside its parameter tree
+        bb_cfg = getattr(self.backbone, "cfg", None)
+        self.faithful = (getattr(self.backbone, "unet", None) is not None
+                         and getattr(bb_cfg, "lora_rank", 0) > 0)
+        if self.faithful:
+            from flax.traverse_util import flatten_dict
+            flat = flatten_dict(self.backbone.params["unet"])
+            self.trainable_params = {
+                "/".join(k): v for k, v in flat.items()
+                if any(("lora" in p) or (p == "class_embedding")
+                       for p in k)}
+            if not self.trainable_params:
+                raise ValueError("VSD backbone has lora_rank>0 but no "
+                                 "LoRA/class_embedding params were found")
+        else:
+            key = key if key is not None else jax.random.PRNGKey(42)
+            k1, k2 = jax.random.split(key)
+            c = self.backbone.latent_channels
+            r = cfg.lora_rank
+            # additive conditioned low-rank adapter: eps_lora = eps_base
+            # + up( act( down(latents) + cam_proj(cond) ) )
+            self.trainable_params = {
+                "down": jax.random.normal(k1, (c, r)) * 0.05,
+                "up": jnp.zeros((r, c)),
+                "cam": jax.random.normal(
+                    k2, (cfg.camera_condition_dim, r)) * 0.05,
+                "cam_b": jnp.zeros((r,)),
+            }
 
     def sched_scalars(self, step: int, max_steps: int) -> Dict[str, float]:
         from ..utils.schedule import C
@@ -85,15 +121,49 @@ class VSDGuidance:
         return {
             "min_t": int(C(self.cfg.min_step_percent, step, max_steps) * T),
             "max_t": int(C(self.cfg.max_step_percent, step, max_steps) * T),
+            "lr_guidance": float(C(self.cfg.lr_lora, step, max_steps)),
         }
 
-    def _eps_lora(self, frozen, train, latents_noisy, t, text, cam_cond):
-        """Backbone eps + camera-conditioned low-rank correction."""
-        base = self.backbone.predict_noise(frozen, latents_noisy, t, text)
-        h = latents_noisy @ train["down"]                     # [N,h,w,r]
+    # ---- eps predictions ----
+
+    def _merged_unet(self, frozen, train):
+        """Overlay the trainable LoRA/class-embedding leaves onto the
+        frozen UNet tree (functional analog of unet_lora sharing the
+        pretrained weights, reference :84-179)."""
+        from flax.traverse_util import flatten_dict, unflatten_dict
+        flat = dict(flatten_dict(frozen["unet"]))
+        for k, v in train.items():
+            flat[tuple(k.split("/"))] = v
+        return unflatten_dict(flat)
+
+    def _eps_pretrain(self, frozen, lat, t, text):
+        """Frozen model: LoRA scale 0, class embedding off
+        (disable_unet_class_embedding + scale 0.0, :446-480)."""
+        if self.faithful:
+            return self.backbone.unet.apply(frozen["unet"], lat, t, text,
+                                            class_labels=None,
+                                            lora_scale=0.0)
+        return self.backbone.predict_noise(frozen, lat, t, text)
+
+    def _eps_lora(self, frozen, train, lat, t, text, cam_cond):
+        """LoRA model: adapters at scale 1 + camera class labels."""
+        if self.faithful:
+            merged = self._merged_unet(frozen, train)
+            return self.backbone.unet.apply(merged, lat, t, text,
+                                            class_labels=cam_cond,
+                                            lora_scale=1.0)
+        base = self.backbone.predict_noise(frozen, lat, t, text)
+        h = lat @ train["down"]                               # [N,h,w,r]
         cam = cam_cond @ train["cam"] + train["cam_b"]        # [N,r]
         h = jax.nn.gelu(h + cam[:, None, None, :])
         return base + h @ train["up"]
+
+    def _camera_condition(self, c2ws: jax.Array) -> jax.Array:
+        if self.cfg.camera_condition_dim == 16:
+            return _pad_c2w16(c2ws)
+        return c2ws.reshape(c2ws.shape[0], -1)
+
+    # ---- training loss ----
 
     def loss(self, params, rgb, embedding: PromptEmbedding, elevation,
              azimuth, camera_distance, key, sched, c2ws=None, **_
@@ -103,16 +173,20 @@ class VSDGuidance:
         bb = self.backbone
         B = rgb.shape[0]
         k_t, k_noise, k_lt, k_ln, k_drop = jax.random.split(key, 5)
-        cam_cond = c2ws.reshape(B, -1)
+        cam_cond = self._camera_condition(c2ws)
 
         imgs = jax.image.resize(rgb, (B, bb.image_size, bb.image_size, 3),
                                 "bilinear")
         latents = bb.encode_images(frozen, imgs)
-        emb2 = embedding.get_text_embedding(
+        emb_vd = embedding.get_text_embedding(
             elevation, azimuth, camera_distance,
             cfg.use_view_dependent_prompt)
+        # view-INDEPENDENT embedding for the LoRA branch (:485-487)
+        emb_vi = embedding.get_text_embedding(
+            elevation, azimuth, camera_distance, False)
+        emb_vi_cond = emb_vi[:B]
 
-        # --- VSD gradient (no grad through either network, :388-460) ---
+        # --- VSD gradient (no grad through either network, :449-534) ---
         t = jax.random.randint(k_t, (B,), sched["min_t"], sched["max_t"] + 1)
         noise = jax.random.normal(k_noise, latents.shape)
         latents_noisy = self.schedule.add_noise(latents, noise, t)
@@ -120,14 +194,16 @@ class VSDGuidance:
         lat2 = jnp.concatenate([ln] * 2, axis=0)
         t2 = jnp.concatenate([t] * 2, axis=0)
 
-        eps_pre = bb.predict_noise(frozen, lat2, t2, emb2)
+        eps_pre = self._eps_pretrain(frozen, lat2, t2, emb_vd)
         ep_text, ep_uncond = eps_pre[:B], eps_pre[B:]
         eps_pretrain = ep_uncond + cfg.guidance_scale * (ep_text - ep_uncond)
 
         cam2 = jnp.concatenate([cam_cond, jnp.zeros_like(cam_cond)], axis=0)
-        eps_l = self._eps_lora(frozen, train, lat2, t2, emb2, cam2)
-        el_text, el_uncond = eps_l[:B], eps_l[B:]
-        eps_lora = el_uncond + 1.0 * (el_text - el_uncond)
+        emb_lora = jnp.concatenate([emb_vi_cond] * 2, axis=0)
+        eps_l = jax.lax.stop_gradient(
+            self._eps_lora(frozen, train, lat2, t2, emb_lora, cam2))
+        el_cam, el_uncond = eps_l[:B], eps_l[B:]
+        eps_lora = el_uncond + cfg.guidance_scale_lora * (el_cam - el_uncond)
 
         ac = self.schedule.alphas_cumprod[t].reshape(-1, 1, 1, 1)
         w = (1.0 - ac) if cfg.weighting_strategy == "sds" else 1.0
@@ -138,20 +214,89 @@ class VSDGuidance:
         target = jax.lax.stop_gradient(latents - grad)
         loss_vsd = 0.5 * jnp.sum((latents - target) ** 2) / B
 
-        # --- LoRA denoising loss (train_lora, :462-500) ---
+        # --- LoRA denoising loss (train_lora, :537-581) ---
         latents_sg = jax.lax.stop_gradient(latents)
-        t_l = jax.random.randint(k_lt, (B,), 0,
+        S = cfg.lora_n_timestamp_samples
+        if S > 1:
+            latents_sg = jnp.tile(latents_sg, (S, 1, 1, 1))
+        t_l = jax.random.randint(k_lt, (B * S,), 0,
                                  self.schedule.num_train_timesteps)
         noise_l = jax.random.normal(k_ln, latents_sg.shape)
         noisy_l = self.schedule.add_noise(latents_sg, noise_l, t_l)
-        cam_l = cam_cond
+        cam_l = jnp.tile(cam_cond, (S, 1))
         if cfg.lora_cfg_training:
-            drop = jax.random.bernoulli(k_drop, cfg.lora_cfg_drop_prob,
-                                        (B, 1))
+            # whole-batch dropout (reference uses random.random() < 0.1)
+            drop = jax.random.bernoulli(k_drop, cfg.lora_cfg_drop_prob)
             cam_l = jnp.where(drop, 0.0, cam_l)
-        emb_cond = emb2[:B]
-        eps_hat = self._eps_lora(frozen, train, noisy_l, t_l, emb_cond, cam_l)
+        emb_cond = jnp.tile(emb_vi_cond, (S, 1, 1))
+        eps_hat = self._eps_lora(frozen, train, noisy_l, t_l, emb_cond,
+                                 cam_l)
         loss_lora = jnp.mean((eps_hat - noise_l) ** 2)
 
         return {"loss_vsd": loss_vsd, "loss_lora": loss_lora,
                 "grad_norm": jnp.linalg.norm(grad.reshape(-1))}
+
+    # ---- visualization sampling (reference _sample/sample/sample_lora,
+    # :236-395) ----
+
+    def _ddim_sample(self, frozen, train, text2, key, guidance_scale,
+                     num_steps, cam2=None, lora: bool = False):
+        """CFG DDIM (eta=0) from pure noise; text2/cam2 are the
+        CFG-expanded [2B] conditionings (cond first, uncond second)."""
+        bb = self.backbone
+        B = text2.shape[0] // 2
+        shape = (B, bb.latent_size, bb.latent_size, bb.latent_channels)
+        x = jax.random.normal(key, shape)
+        T = self.schedule.num_train_timesteps
+        ts = jnp.round(jnp.linspace(T - 1, 0, num_steps)).astype(jnp.int32)
+        ac_all = self.schedule.alphas_cumprod
+
+        def body(i, x):
+            t = ts[i]
+            lat2 = jnp.concatenate([x] * 2, axis=0)
+            t2 = jnp.full((2 * B,), t, jnp.int32)
+            if lora:
+                eps2 = self._eps_lora(frozen, train, lat2, t2, text2, cam2)
+            else:
+                eps2 = self._eps_pretrain(frozen, lat2, t2, text2)
+            if eps2.shape[-1] == 2 * x.shape[-1]:   # variance-split nets
+                eps2 = eps2[..., :x.shape[-1]]
+            e_c, e_u = eps2[:B], eps2[B:]
+            eps = e_u + guidance_scale * (e_c - e_u)
+            ac_t = ac_all[t]
+            ac_prev = jnp.where(i + 1 < num_steps,
+                                ac_all[ts[jnp.minimum(i + 1,
+                                                      num_steps - 1)]],
+                                1.0)
+            x0 = (x - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
+            return jnp.sqrt(ac_prev) * x0 + jnp.sqrt(1.0 - ac_prev) * eps
+
+        x = jax.lax.fori_loop(0, num_steps, body, x)
+        return bb.decode_latents(frozen, x)
+
+    def sample(self, params, embedding: PromptEmbedding, elevation,
+               azimuth, camera_distance, key, num_steps: int = 25):
+        """Images from the frozen model at ``guidance_scale``
+        (reference sample(), :300-330)."""
+        frozen = params["frozen"] if "frozen" in params else params
+        emb_vd = embedding.get_text_embedding(
+            elevation, azimuth, camera_distance,
+            self.cfg.use_view_dependent_prompt)
+        return self._ddim_sample(frozen, None, emb_vd, key,
+                                 self.cfg.guidance_scale, num_steps)
+
+    def sample_lora(self, params, embedding: PromptEmbedding, elevation,
+                    azimuth, camera_distance, c2ws, key,
+                    num_steps: int = 25):
+        """Images from the LoRA model conditioned on the camera
+        (reference sample_lora(), :332-395)."""
+        frozen, train = params["frozen"], params["train"]
+        B = elevation.shape[0]
+        emb_vi = embedding.get_text_embedding(
+            elevation, azimuth, camera_distance, False)
+        emb2 = jnp.concatenate([emb_vi[:B]] * 2, axis=0)
+        cam = self._camera_condition(c2ws)
+        cam2 = jnp.concatenate([cam, jnp.zeros_like(cam)], axis=0)
+        return self._ddim_sample(frozen, train, emb2, key,
+                                 self.cfg.guidance_scale_lora, num_steps,
+                                 cam2=cam2, lora=True)
