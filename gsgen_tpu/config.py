@@ -170,6 +170,25 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     else:
         raise NotImplementedError(f"guidance type {g_type}")
 
+    # auxiliary point-cloud guidance (reference conf/base.yaml:176-190,
+    # aux_guidance_step trainer.py:458-466)
+    aux_guidance = None
+    aux_d = dict(cfg.get("auxiliary", {}))
+    if aux_d.pop("enabled", False):
+        from .guidance.point_e_aux import PointEAuxConfig, PointEAuxGuidance
+        aux_type = aux_d.pop("type", "point_e")
+        if aux_type != "point_e":
+            raise NotImplementedError(f"auxiliary type {aux_type}")
+        clip_dir = aux_d.pop("clip_model_id", None)
+        acfg = _from_dict(PointEAuxConfig, aux_d)
+        cond_vec = None
+        if clip_dir:
+            import jax.numpy as _jnp
+            from .prompt.encoders import build_clip_textvec_fn
+            cond_vec = _jnp.asarray(build_clip_textvec_fn(clip_dir)(
+                [prompt_d.get("prompt", "")])[0])
+        aux_guidance = PointEAuxGuidance(acfg, cond_vec=cond_vec)
+
     init_points = init_colors = None
     if init_cfg.type == "point_cloud":
         from .priors import load_point_cloud
@@ -214,7 +233,7 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     trainer = Trainer(cfg=tcfg, rcfg=rcfg, init_cfg=init_cfg, bg_cfg=bg_cfg,
                       data_cfg=data_cfg, guidance=guidance, dcfg=dcfg,
                       pcfg=pcfg, init_points=init_points,
-                      init_colors=init_colors,
+                      init_colors=init_colors, aux_guidance=aux_guidance,
                       prompt_processor=prompt_processor, logger=logger,
                       **extra)
     if img_d:

@@ -34,7 +34,8 @@ import numpy as np
 
 # flax attribute names that contain "_<digit>" but are single torch
 # names, not list entries
-ATOMIC = ("linear_1", "linear_2", "wi_0", "wi_1", "conv_shortcut")
+ATOMIC = ("linear_1", "linear_2", "wi_0", "wi_1", "conv_shortcut",
+          "ln_1", "ln_2")    # point-e resblock norms
 
 _LIST_RE = re.compile(r"^(.*)_(\d+)$")
 

@@ -43,6 +43,20 @@ class NoiseSchedule(NamedTuple):
                 + jnp.sqrt(1.0 - ac).reshape(shape) * noise)
 
 
+def cosine_schedule(num_train_timesteps: int = 1024,
+                    max_beta: float = 0.999) -> NoiseSchedule:
+    """Nichol-Dhariwal cosine schedule (point_e
+    gaussian_diffusion.get_named_beta_schedule "cosine")."""
+    t = np.arange(num_train_timesteps + 1) / num_train_timesteps
+    abar = np.cos((t + 0.008) / 1.008 * np.pi / 2) ** 2
+    betas = np.minimum(1.0 - abar[1:] / abar[:-1], max_beta)
+    alphas = 1.0 - betas
+    return NoiseSchedule(betas=jnp.asarray(betas, jnp.float32),
+                         alphas_cumprod=jnp.asarray(
+                             np.cumprod(alphas), jnp.float32),
+                         num_train_timesteps=num_train_timesteps)
+
+
 def scaled_linear_schedule(num_train_timesteps: int = 1000,
                            beta_start: float = 0.00085,
                            beta_end: float = 0.012) -> NoiseSchedule:

@@ -166,6 +166,43 @@ class CLIPTextModel(nn.Module):
         return self.text_model(ids)
 
 
+class CLIPTextModelWithProjection(nn.Module):
+    """Projected pooled embedding (transformers
+    CLIPTextModelWithProjection) — the text-vec that conditions
+    point-e's base40M-textvec model (reference
+    point_e/models/pretrained_clip.py:113-121 embed_text)."""
+
+    cfg: CLIPTextConfig
+    projection_dim: int = 768
+
+    def setup(self):
+        self.text_model = CLIPTextTransformer(self.cfg)
+        self.text_projection = nn.Dense(self.projection_dim, use_bias=False)
+
+    def __call__(self, ids):
+        h = self.text_model(ids)
+        # pooled = hidden state at the EOT token (highest token id)
+        pooled = h[jnp.arange(ids.shape[0]), jnp.argmax(ids, axis=-1)]
+        return self.text_projection(pooled)
+
+
+def load_clip_textvec(state_dict, cfg: CLIPTextConfig,
+                      projection_dim: int = 768,
+                      key: Optional[jax.Array] = None):
+    """(module, params) for CLIPTextModelWithProjection from its
+    transformers state_dict."""
+    import numpy as np
+    module = CLIPTextModelWithProjection(cfg, projection_dim)
+    template = jax.eval_shape(
+        lambda: module.init(key or jax.random.PRNGKey(0),
+                            jnp.zeros((1, 4), jnp.int32)))
+    template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
+    state = {k: np.asarray(v) for k, v in state_dict.items()
+             if "position_ids" not in k}
+    params = torch_state_to_flax(state, template)
+    return module, params
+
+
 def load_clip_text(state_dict, cfg: CLIPTextConfig,
                    key: Optional[jax.Array] = None):
     """Build (module, params) from a transformers CLIPTextModel

@@ -112,6 +112,36 @@ def build_t5_encode_fn(root: str, max_length: int = 77) -> Callable:
     return encode
 
 
+def build_clip_textvec_fn(root: str, max_length: int = 77) -> Callable:
+    """Projected pooled CLIP embedding (point-e's text conditioning,
+    reference point_e/models/pretrained_clip.py:113-121): texts ->
+    [N, projection_dim]."""
+    from .clip import CLIPTextConfig, load_clip_textvec
+    enc_dir = os.path.join(root, "text_encoder")
+    if not os.path.isdir(enc_dir):
+        enc_dir = root
+    hf = _read_config(enc_dir)
+    cfg = CLIPTextConfig(
+        vocab_size=hf.get("vocab_size", 49408),
+        hidden_size=hf.get("hidden_size", 768),
+        intermediate_size=hf.get("intermediate_size", 3072),
+        num_hidden_layers=hf.get("num_hidden_layers", 12),
+        num_attention_heads=hf.get("num_attention_heads", 12),
+        max_position_embeddings=hf.get("max_position_embeddings", 77),
+        hidden_act=hf.get("hidden_act", "quick_gelu"))
+    state = load_safetensors(enc_dir)
+    module, params = load_clip_textvec(
+        state, cfg, projection_dim=hf.get("projection_dim", 768))
+    tokenize = _tokenizer(root, min(max_length,
+                                    cfg.max_position_embeddings))
+    apply = jax.jit(lambda p, ids: module.apply(p, ids))
+
+    def encode(texts):
+        ids, _ = tokenize(texts)
+        return np.asarray(apply(params, jnp.asarray(ids)))
+    return encode
+
+
 def build_encode_fn(model_id: str,
                     kind: Optional[str] = None) -> Optional[Callable]:
     """Resolve a prompt model_id to an encode_fn.
