@@ -99,7 +99,7 @@ def _scatter_new(params: GaussianParams, active, new: GaussianParams,
     """Write candidate rows into their target slots (M = drop)."""
     def put(dst, src):
         return dst.at[targets].set(src, mode="drop")
-    params = GaussianParams(*(put(d, s) for d, s in zip(params, new)))
+    params = jax.tree_util.tree_map(put, params, new)
     active = active.at[targets].set(True, mode="drop")
     return params, active
 
@@ -155,8 +155,7 @@ def densify_clone_split(state: SceneState, opt: AdamState,
     for i in range(n_copies):
         key, k = jax.random.split(key)
         off = _split_offsets(p.qvec, svec, k)
-        cand = GaussianParams(mean=p.mean + off, qvec=p.qvec,
-                              svec=new_svec_raw, color=p.color, alpha=p.alpha)
+        cand = p._replace(mean=p.mean + off, svec=new_svec_raw)
         targets, n_i = _free_slot_targets(active, split_mask)
         params, active = _scatter_new(params, active, cand, targets)
         n_split = n_split + n_i
@@ -203,8 +202,7 @@ def densify_compactness(state: SceneState, opt: AdamState,
         gap = dist - d_self_surf - d_nn_surf
         new_svec = inv_act(rcfg.svec_act)(
             jnp.maximum(gap, 1e-6)[:, None] / 6.0 * jnp.ones((1, 3)))
-        cand = GaussianParams(mean=new_mean, qvec=p.qvec, svec=new_svec,
-                              color=p.color, alpha=p.alpha)
+        cand = p._replace(mean=new_mean, svec=new_svec)
         targets, n_k = _free_slot_targets(active, gap_ok)
         params, active = _scatter_new(params, active, cand, targets)
         n_new = n_new + n_k
@@ -228,8 +226,7 @@ def densify_by_scale(state: SceneState, opt: AdamState, cfg: DensifyConfig,
     for i in range(cfg.n_splits):
         key, k = jax.random.split(key)
         off = _split_offsets(p.qvec, svec, k)
-        cand = GaussianParams(mean=p.mean + off, qvec=p.qvec,
-                              svec=new_svec_raw, color=p.color, alpha=p.alpha)
+        cand = p._replace(mean=p.mean + off, svec=new_svec_raw)
         targets, n_i = _free_slot_targets(active, mask)
         params, active = _scatter_new(params, active, cand, targets)
         n = n + n_i

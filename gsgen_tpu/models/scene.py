@@ -42,13 +42,21 @@ from ..utils.activations import act, inv_act
 
 
 class GaussianParams(NamedTuple):
-    """Learnable raw fields (pre-activation), capacity-padded to [M]."""
+    """Learnable raw fields (pre-activation), capacity-padded to [M].
+
+    ``specular``/``normal`` are the optional PBR fields (reference
+    gs/gaussian_splatting.py:159-204: sigmoid specular init 0.05;
+    learned normal = normalize(tanh(raw)) init from point-cloud normal
+    estimation).  ``None`` (the default) keeps them out of the pytree
+    entirely — non-PBR runs are unchanged."""
 
     mean: jax.Array   # [M, 3]
     qvec: jax.Array   # [M, 4] wxyz
     svec: jax.Array   # [M, 3] raw scale
     color: jax.Array  # [M, 3] raw color
     alpha: jax.Array  # [M]    raw opacity
+    specular: Optional[jax.Array] = None   # [M, 3] raw specular albedo
+    normal: Optional[jax.Array] = None     # [M, 3] raw normal
 
 
 class SceneState(NamedTuple):
@@ -82,6 +90,11 @@ class RenderConfig:
     backend: str = "auto"       # auto | pallas (TPU kernels) | xla (pure scan)
     sh_degree: int = 0          # 0 = per-Gaussian RGB; >0 = SH bands
                                 # (SHRenderer parity, gs/sh_renderer.py:38)
+    # PBR (reference gs/gaussian_splatting.py:74-75,159-204,1428-1452)
+    pbr: bool = False
+    normal_type: str = "estimated"   # estimated | learned
+    normal_neighborhood: int = 16    # KNN size for normal estimation
+    normal_as_rgb: bool = False      # render normals as color (debug)
 
 
 def activate(params: GaussianParams, cfg: RenderConfig):
@@ -90,6 +103,33 @@ def activate(params: GaussianParams, cfg: RenderConfig):
             act(cfg.svec_act)(params.svec),
             act(cfg.color_act)(params.color),
             act(cfg.alpha_act)(params.alpha))
+
+
+def scene_normals(params: GaussianParams, active, cfg: RenderConfig):
+    """Per-Gaussian surface normals (reference
+    gs/gaussian_splatting.py:1186-1196: estimated = point-cloud normal
+    estimation per forward; learned = normalize(tanh(raw)))."""
+    if cfg.normal_type == "learned":
+        if params.normal is None:
+            raise ValueError("normal_type='learned' needs the PBR normal "
+                             "field (RenderConfig.pbr=True)")
+        n = jnp.tanh(params.normal)
+        return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True),
+                               1e-6)
+    from ..utils.ops import estimate_pointcloud_normals
+    return estimate_pointcloud_normals(params.mean, cfg.normal_neighborhood,
+                                       mask=active)
+
+
+def shaded_color(light_pos, light_color, normal, specular, mean, cam_pos):
+    """Blinn-Phong-style specular term (reference utils/ops.py:188-195):
+    ``light_color * |<half_vector, normal>| * specular``."""
+    def unit(v):
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True),
+                               1e-8)
+    half = unit(unit(light_pos[None] - mean) + unit(cam_pos[None] - mean))
+    dot = jnp.clip(jnp.abs(jnp.sum(half * normal, axis=-1)), 0.0, 1.0)
+    return light_color[None] * dot[:, None] * specular
 
 
 def make_scene(mean, qvec, svec, color, alpha, cfg: RenderConfig,
@@ -109,6 +149,18 @@ def make_scene(mean, qvec, svec, color, alpha, cfg: RenderConfig,
             jnp.asarray(fill, x.dtype), (m - n,) + x.shape[1:])
         return jnp.concatenate([x, filler], axis=0)
 
+    specular = normal = None
+    if cfg.pbr:
+        # raw specular = inv_sigmoid(0.05); learned normal raw init =
+        # the estimated normals (gs/gaussian_splatting.py:198-204)
+        specular = jnp.full((m, 3), float(inv_act("sigmoid")(
+            jnp.asarray(0.05))), jnp.float32)
+        if cfg.normal_type == "learned":
+            from ..utils.ops import estimate_pointcloud_normals
+            est = estimate_pointcloud_normals(mean.astype(jnp.float32),
+                                              cfg.normal_neighborhood)
+            normal = pad(est)
+
     params = GaussianParams(
         mean=pad(mean.astype(jnp.float32)),
         qvec=pad(qvec.astype(jnp.float32)).at[n:, 0].set(1.0),
@@ -116,6 +168,8 @@ def make_scene(mean, qvec, svec, color, alpha, cfg: RenderConfig,
                  fill=inv_act(cfg.svec_act)(jnp.asarray(1e-4))),
         color=pad(color.astype(jnp.float32)),
         alpha=pad(alpha.astype(jnp.float32), fill=-10.0),
+        specular=specular,
+        normal=normal,
     )
     active = jnp.arange(m) < n
     zeros = jnp.zeros((m,), jnp.float32)
@@ -139,6 +193,8 @@ def render_view(
     mean2d_tap: Optional[jax.Array] = None,  # [M, 2] zeros; grad tap for densify
     cull_intr: Optional[CameraIntrinsics] = None,  # frustum override
     pixel_offset_y=0,            # slab row offset (tile-sharded render)
+    light_pos: Optional[jax.Array] = None,     # [3] PBR point light
+    light_color: Optional[jax.Array] = None,   # [3]
 ) -> Dict[str, jax.Array]:
     """Render one view.  The TPU analog of render_one
     (gs/gaussian_splatting.py:1198-1420).
@@ -163,6 +219,16 @@ def render_view(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-8)
         color = eval_sh_color(coeffs, dirs)
+
+    if cfg.normal_as_rgb:
+        # debug view (reference forward(), gs/gaussian_splatting.py:1424-1427)
+        color = (scene_normals(params, active, cfg) + 1.0) * 0.5
+    elif cfg.pbr and params.specular is not None and light_pos is not None:
+        # specular shading added on the albedo (reference :1428-1452)
+        normal = scene_normals(params, active, cfg)
+        spec = act("sigmoid")(params.specular)
+        color = color + shaded_color(light_pos, light_color, normal, spec,
+                                     mean, c2w[:3, 3])
 
     # frustum culling (culling.h:11-34 semantics).  cull_intr lets
     # tile-sharded slab renders cull with the FULL camera (a slab's
@@ -226,7 +292,7 @@ def render_view(
 
 def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
                  cxs=None, cys=None, rgb_only=False, mean2d_taps=None,
-                 tile_mesh=None):
+                 tile_mesh=None, light_pos=None, light_color=None):
     """vmap of :func:`render_view` over a batch of cameras.
 
     c2ws [B,3,4]; bgs [B,3] or [B,H,W,3]; optional per-sample dynamic
@@ -234,16 +300,26 @@ def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
     data/__init__.py:151-230).  Passing ``tile_mesh`` renders each view
     tile-sharded over that mesh's "tile" axis (multi-chip training).
     """
+    B = c2ws.shape[0]
+    if light_pos is None:
+        light_pos = jnp.zeros((B, 3), jnp.float32)
+        light_color = jnp.ones((B, 3), jnp.float32)
+        use_light = None
+    else:
+        use_light = True
     if tile_mesh is not None:
         from ..parallel.sharded_render import render_view_tile_sharded
-        fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view_tile_sharded(
-            params, active, c2w, intr, cfg, bg, tile_mesh,
-            fx=fx, fy=fy, cx=cx, cy=cy, rgb_only=rgb_only, mean2d_tap=tap)
+        fn = lambda c2w, bg, fx, fy, cx, cy, tap, lp, lc: \
+            render_view_tile_sharded(
+                params, active, c2w, intr, cfg, bg, tile_mesh,
+                fx=fx, fy=fy, cx=cx, cy=cy, rgb_only=rgb_only,
+                mean2d_tap=tap)
     else:
-        fn = lambda c2w, bg, fx, fy, cx, cy, tap: render_view(
+        fn = lambda c2w, bg, fx, fy, cx, cy, tap, lp, lc: render_view(
             params, active, c2w, intr, cfg, bg, fx, fy, cx, cy,
-            rgb_only=rgb_only, mean2d_tap=tap)
-    B = c2ws.shape[0]
+            rgb_only=rgb_only, mean2d_tap=tap,
+            light_pos=lp if use_light else None,
+            light_color=lc if use_light else None)
     ones = jnp.ones((B,), jnp.float32)
     fxs = ones * intr.fx if fxs is None else fxs
     fys = ones * intr.fy if fys is None else fys
@@ -251,4 +327,5 @@ def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
     cys = ones * intr.cy if cys is None else cys
     taps = (jnp.zeros((B,) + params.mean.shape[:1] + (2,), jnp.float32)
             if mean2d_taps is None else mean2d_taps)
-    return jax.vmap(fn)(c2ws, bgs, fxs, fys, cxs, cys, taps)
+    return jax.vmap(fn)(c2ws, bgs, fxs, fys, cxs, cys, taps,
+                        light_pos, light_color)

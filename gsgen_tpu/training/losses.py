@@ -91,8 +91,26 @@ def compat_penalty(params: GaussianParams, active, cfg: RenderConfig,
     raise ValueError(f"compat penalty {kind}")
 
 
+def move_penalty(params: GaussianParams, active, prev_mean):
+    """Mean displacement from the previous step's positions
+    (gs/gaussian_splatting.py:1016-1030; the reference's ``prev_mean``
+    is never written — here the trainer snapshots it each step)."""
+    d2 = jnp.sum((params.mean - jax.lax.stop_gradient(prev_mean)) ** 2,
+                 axis=-1)
+    return _masked_mean(jnp.sqrt(d2 + 1e-12), active)
+
+
+def specular_penalty(params: GaussianParams, active):
+    """Mean specular albedo (gs/gaussian_splatting.py:1099-1111)."""
+    if params.specular is None:
+        raise ValueError("specular penalty needs RenderConfig.pbr=True")
+    spec = jax.nn.sigmoid(params.specular)
+    return _masked_mean(jnp.mean(spec, axis=-1), active)
+
+
 PENALTIES = dict(alpha=alpha_penalty, mean=mean_penalty, scale=scale_penalty,
-                 NN=nn_penalty, compat=compat_penalty)
+                 NN=nn_penalty, compat=compat_penalty, move=move_penalty,
+                 specular=specular_penalty)
 
 
 # -- image losses (utils/loss.py) --

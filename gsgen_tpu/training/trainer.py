@@ -192,7 +192,8 @@ class Trainer:
         penalty_cfg = cfg.penalty
 
         def loss_fn(params: GaussianParams, bgp, gp, taps,
-                    scene: SceneState, batch, sched, key, gfrozen):
+                    scene: SceneState, batch, sched, key, gfrozen,
+                    prev_mean):
             B = batch["c2w"].shape[0]
             k_bg, k_g = jax.random.split(key)
             if bg_cfg.type == "mlp":
@@ -205,11 +206,15 @@ class Trainer:
             if not cfg.use_bg:
                 bgs = jnp.zeros_like(bgs)
 
+            lights = {}
+            if rcfg.pbr and "light_pos" in batch:
+                lights = dict(light_pos=batch["light_pos"],
+                              light_color=batch["light_color"])
             outs = render_batch(
                 params, scene.active, batch["c2w"], intr, rcfg, bgs,
                 batch["fx"], batch["fy"], batch["cx"], batch["cy"],
                 rgb_only=cfg.rgb_only, mean2d_taps=taps,
-                tile_mesh=self.tile_mesh)
+                tile_mesh=self.tile_mesh, **lights)
 
             embedding = (self.prompt_processor()
                          if self.prompt_processor is not None else None)
@@ -263,6 +268,8 @@ class Trainer:
                     kw = dict(kind=p.get("type", "uniform_l1"))
                 elif name == "scale":
                     kw = dict(cfg=rcfg)
+                elif name == "move":
+                    kw = dict(prev_mean=prev_mean)
                 else:
                     kw = {}
                 pen = fn(params, scene.active, **kw)
@@ -277,7 +284,8 @@ class Trainer:
             }
             return loss, aux
 
-        def train_step(state: TrainState, batches, sched, gfrozen):
+        def train_step(state: TrainState, batches, sched, gfrozen,
+                       prev_mean):
             """batches: pytree with leading axis [grad_accum, B, ...]."""
             scene = state.scene
             key, k_loop = jax.random.split(state.key)
@@ -295,7 +303,8 @@ class Trainer:
                     (batch["c2w"].shape[0],) + scene.params.mean.shape[:1] + (2,),
                     jnp.float32)
                 grads, aux = grad_fn(scene.params, state.bg, state.gp, taps,
-                                     scene, batch, sched, keys[a], gfrozen)
+                                     scene, batch, sched, keys[a], gfrozen,
+                                     prev_mean)
                 gsum = jax.tree_util.tree_map(
                     jnp.add, gsum, (grads[0], grads[1], grads[2]))
                 tap_grads.append(grads[3])
@@ -310,15 +319,21 @@ class Trainer:
                 # (register_mask, gs/gaussian_splatting.py:341-366)
                 keep = 1.0 - sched["grad_mask_on"] * \
                     self.grad_mask.astype(jnp.float32)
-                gscene = GaussianParams(*(
-                    x * keep.reshape((-1,) + (1,) * (x.ndim - 1))
-                    for x in gscene))
+                gscene = jax.tree_util.tree_map(
+                    lambda x: x * keep.reshape((-1,) + (1,) * (x.ndim - 1)),
+                    gscene)
 
-            # per-field lr pytree
+            # per-field lr pytree (specular/normal default to the color
+            # lr like the reference param group, gs/gaussian_splatting.py:304-309)
+            has = scene.params
             lr_scene = GaussianParams(
                 mean=sched["lr_mean"], qvec=sched["lr_qvec"],
                 svec=sched["lr_svec"], color=sched["lr_color"],
-                alpha=sched["lr_alpha"])
+                alpha=sched["lr_alpha"],
+                specular=(sched.get("lr_specular", sched["lr_color"])
+                          if has.specular is not None else None),
+                normal=(sched.get("lr_normal", sched["lr_color"])
+                        if has.normal is not None else None))
             lr_bg = jax.tree_util.tree_map(lambda _: sched["lr_bg"], state.bg)
             lr_gp = jax.tree_util.tree_map(
                 lambda _: sched.get("lr_guidance", 1e-4), state.gp)
@@ -388,7 +403,15 @@ class Trainer:
         fn = self._get_step_fn(intr)
         gfrozen = getattr(self.guidance, "frozen_params",
                           getattr(self.guidance, "params", {}))
-        self.state, metrics = fn(self.state, stacked, sched, gfrozen)
+        # move-penalty reference point: positions BEFORE the previous
+        # optimizer update (a one-step trust region on mean)
+        prev_mean = getattr(self, "_prev_mean", None)
+        if prev_mean is None or prev_mean.shape != self.state.scene.params.mean.shape:
+            prev_mean = self.state.scene.params.mean
+        pre_step_mean = self.state.scene.params.mean
+        self.state, metrics = fn(self.state, stacked, sched, gfrozen,
+                                 prev_mean)
+        self._prev_mean = pre_step_mean
         # bucket feedback only every 10 steps: int() forces a host sync,
         # which would otherwise serialize the async dispatch pipeline
         if self.cfg.auto_dup_bucket and step % 10 == 0:

@@ -92,6 +92,36 @@ def farthest_point_sampling(points: jax.Array, n_samples: int,
     return idx
 
 
+def estimate_pointcloud_normals(points: jax.Array, k: int = 16,
+                                mask: jax.Array | None = None) -> jax.Array:
+    """Per-point normals by local plane fitting [N, 3].
+
+    Replaces pytorch3d ``estimate_pointcloud_normals`` (reference
+    utils/ops.py:62-72, used for PBR normals and learned-normal init,
+    gs/gaussian_splatting.py:198-204,1186-1196): KNN neighborhood ->
+    3x3 covariance -> smallest eigenvector (closed-form batched eigh —
+    MXU-friendly, no iteration).  Directions are disambiguated by
+    orienting away from the neighborhood centroid (pytorch3d uses a
+    neighborhood-consistency pass; the centroid heuristic is the
+    documented delta — normals only feed |dot| shading, which is
+    sign-invariant, reference utils/ops.py:193).
+    """
+    _, idx = knn_self(points, k, mask)             # [N, k]
+    nbr = points[idx]                              # [N, k, 3]
+    ctr = jnp.mean(nbr, axis=1, keepdims=True)     # [N, 1, 3]
+    d = nbr - ctr
+    cov = jnp.einsum("nki,nkj->nij", d, d) / k     # [N, 3, 3]
+    # smallest eigenvector of a symmetric 3x3 via eigh (XLA batches this)
+    _, vecs = jnp.linalg.eigh(cov)
+    n = vecs[..., 0]                               # ascending eigenvalues
+    # orient away from the local centroid
+    out = points - ctr[:, 0]
+    sign = jnp.where(jnp.sum(n * out, axis=-1, keepdims=True) < 0.0,
+                     -1.0, 1.0)
+    n = n * sign
+    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+
+
 def distance_to_gaussian_surface(mean: jax.Array, svec: jax.Array,
                                  qvec: jax.Array, query: jax.Array) -> jax.Array:
     """Ellipsoid "surface radius" of each Gaussian toward ``query`` [N, 3].
