@@ -159,6 +159,10 @@ class PromptProcessorConfig:
     prompt_side: Optional[str] = None
     prompt_back: Optional[str] = None
     prompt_overhead: Optional[str] = None
+    # BERT fill-mask prompt debiasing (prompt_processors.py:274-281,387-447)
+    use_prompt_debiasing: bool = False
+    debiasing_model_id: str = ""
+    prompt_debiasing_mask_ids: Optional[List[int]] = None
 
 
 def mock_encode(texts: Sequence[str], L: int = 77, D: int = 1024) -> np.ndarray:
@@ -176,13 +180,29 @@ class PromptProcessor:
     (BasePromptProcessor semantics, prompt_processors.py:183-373)."""
 
     def __init__(self, cfg: PromptProcessorConfig,
-                 encode_fn: Optional[Callable] = None):
+                 encode_fn: Optional[Callable] = None,
+                 fill_mask: Optional[Callable] = None):
         self.cfg = cfg
         self.encode_fn = encode_fn or mock_encode
-        overrides = {"side": cfg.prompt_side, "back": cfg.prompt_back,
-                     "overhead": cfg.prompt_overhead}
-        vd_prompts = direction_templates(cfg.prompt, cfg.front_style,
-                                         overrides)
+        if cfg.use_prompt_debiasing:
+            # reference :274-281: per-view debiased base prompts, manual
+            # per-view overrides are mutually exclusive
+            assert not (cfg.prompt_side or cfg.prompt_back
+                        or cfg.prompt_overhead), \
+                "Do not assign prompt_side/back/overhead with debiasing"
+            from .debias import get_debiased_prompt
+            base = get_debiased_prompt(
+                cfg.prompt, cfg.debiasing_model_id,
+                mask_ids=cfg.prompt_debiasing_mask_ids,
+                fill_mask=fill_mask)
+            vd_prompts = [
+                direction_templates(p, cfg.front_style)[i]
+                for i, p in enumerate(base)]
+        else:
+            overrides = {"side": cfg.prompt_side, "back": cfg.prompt_back,
+                         "overhead": cfg.prompt_overhead}
+            vd_prompts = direction_templates(cfg.prompt, cfg.front_style,
+                                             overrides)
         texts = [cfg.prompt, cfg.negative_prompt] + vd_prompts \
             + [cfg.negative_prompt] * 4
         embs = self._encode_cached(texts)
