@@ -88,6 +88,8 @@ class RenderConfig:
     chunk: int = 256            # rasterizer chunk (streaming granularity)
     near: float = 1e-3
     backend: str = "auto"       # auto | pallas (TPU kernels) | xla (pure scan)
+    pallas_interpret: bool = False   # run Pallas kernels in interpret
+                                     # mode (CPU-mesh dryruns/tests)
     sh_degree: int = 0          # 0 = per-Gaussian RGB; >0 = SH bands
                                 # (SHRenderer parity, gs/sh_renderer.py:38)
     # PBR (reference gs/gaussian_splatting.py:74-75,159-204,1428-1452)
@@ -266,11 +268,17 @@ def render_view(
     backend = cfg.backend
     if backend == "auto":
         backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
-    raster = rasterize_tiles_pallas if backend == "pallas" else rasterize_tiles
+    kw = {}
+    if backend == "pallas":
+        raster = rasterize_tiles_pallas
+        if cfg.pallas_interpret:
+            kw["interpret"] = True
+    else:
+        raster = rasterize_tiles
     img, T = raster(
         mean2d, conic, alpha, feats, bins, topleft, psz,
         w=intr.w, h=intr.h, tile_size=cfg.tile_size, chunk=cfg.chunk,
-        T_thresh=cfg.T_thresh)
+        T_thresh=cfg.T_thresh, **kw)
 
     if bg.ndim == 1:
         bg = bg[None, None, :]

@@ -100,3 +100,45 @@ def render_view_tile_sharded(
     return fn(params, active, c2w, bg,
               jnp.float32(fx), jnp.float32(fy), jnp.float32(cx),
               jnp.float32(cy), mean2d_tap)
+
+
+def render_batch_data_tile_sharded(
+    params: GaussianParams,
+    active: jax.Array,
+    c2ws: jax.Array,            # [B, 3, 4], B divisible by mesh["data"]
+    intr: CameraIntrinsics,
+    cfg: RenderConfig,
+    bgs: jax.Array,             # [B, 3]
+    mesh: Mesh,
+    data_axis: str = "data",
+    tile_axis: str = "tile",
+) -> jax.Array:
+    """2-D parallel render: views sharded over ``data``, tile rows over
+    ``tile`` — the production multi-chip layout (SURVEY §2.6).  One
+    shard_map over both mesh axes; parameters replicated, so the
+    gradient transpose psums over BOTH axes via ICI.  Returns rgb
+    [B, H, W, 3] sharded (data, tile)."""
+    D_t = mesh.shape[tile_axis]
+    D_d = mesh.shape[data_axis]
+    assert intr.h % (D_t * cfg.tile_size) == 0
+    assert c2ws.shape[0] % D_d == 0
+    slab_h = intr.h // D_t
+    slab_intr = dataclasses.replace(intr, h=slab_h)
+
+    def body(params, active, c2ws_l, bgs_l):
+        d = jax.lax.axis_index(tile_axis)
+        y0 = d * slab_h
+
+        def one(c2w, bg):
+            out = render_view(params, active, c2w, slab_intr, cfg, bg,
+                              rgb_only=True, cull_intr=intr,
+                              pixel_offset_y=y0)
+            return out["rgb"]
+
+        return jax.vmap(one)(c2ws_l, bgs_l)
+
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P(data_axis), P(data_axis)),
+                   out_specs=P(data_axis, tile_axis),
+                   check_rep=False)
+    return fn(params, active, c2ws, bgs)

@@ -72,4 +72,5 @@ def test_pressure_scene_gradients():
         return jnp.mean(out["rgb"] ** 2)
 
     g = jax.grad(loss)(s.params)
-    assert all(bool(jnp.isfinite(x).all()) for x in g)
+    assert all(bool(jnp.isfinite(x).all())
+               for x in jax.tree_util.tree_leaves(g))
