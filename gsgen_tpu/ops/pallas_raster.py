@@ -26,8 +26,11 @@ Data layouts (chosen so no array needs lane padding in HBM):
   grads  [16, cap]        same rows as dup
 
 Forward early-exits a tile when every pixel's transmittance is below
-``T_thresh``; the backward pass walks all chunks (grads of unprocessed
-Gaussians are zero and their buffer rows must still be written).
+``T_thresh`` and records the number of chunks it processed in the spare
+output row; the backward pass walks ONLY those chunks (the fwd and bwd
+transmittance recurrences are identical, so chunks the forward skipped
+have exactly-zero gradients) and the unwalked rows of the gradient
+buffer are zeroed by a scatter+cumsum mask outside the kernel.
 """
 
 from __future__ import annotations
@@ -44,8 +47,9 @@ from .binning import BinnedTiles
 from .oracle import ALPHA_CLAMP, DEFAULT_T_THRESH, MIN_RENDER_ALPHA
 
 D_ROWS = 16          # dup/grad row count (multiple of 8 sublanes)
-CH_OUT = 8           # output channel rows (F feats + T + pad)
-MAX_F = 8            # feats capacity (6 geometry rows + F <= 16, T slot < 8)
+CH_OUT = 8           # output channel rows (F feats + T + exit count)
+MAX_F = 6            # feats capacity: F feats + T + early-exit chunk
+                     # count must fit in CH_OUT rows
 
 
 def _excl_cumprod_lanes(x: jax.Array) -> jax.Array:
@@ -187,16 +191,25 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
 
     out_ref[0, 0:F, :] = acc
     out_ref[0, F:F + 1, :] = jnp.transpose(T_col)        # [1, P]
-    if F + 1 < CH_OUT:
-        out_ref[0, F + 1:, :] = jnp.zeros((CH_OUT - F - 1, P), jnp.float32)
+    if F + 2 < CH_OUT:
+        out_ref[0, F + 1:CH_OUT - 1, :] = jnp.zeros(
+            (CH_OUT - F - 2, P), jnp.float32)
+    # spare row: chunks actually processed (early exit included) — the
+    # backward pass bounds its walk with this (exact int in fp32: < 2^24)
+    out_ref[0, CH_OUT - 1:CH_OUT, :] = jnp.full(
+        (1, P), i_fin.astype(jnp.float32))
 
 
-def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
-                grad_ref, buf, dbuf, sem, wsem,
+def _bwd_kernel(starts_ref, nchunks_ref, nckeff_ref, geom_ref, dup_ref,
+                out_ref, g_ref, grad_ref, buf, dbuf, sem, wsem,
                 *, tile_size, n_tiles_w, K, F, T_thresh):
     t = pl.program_id(0)
     start = starts_ref[t]
-    nck = nchunks_ref[t]
+    # walk only the chunks the forward actually processed: the fwd and
+    # bwd transmittance recurrences are identical, so chunks the forward
+    # early-exited past have exactly-zero gradients (their rows are
+    # masked to zero by the caller, not written here)
+    nck = jnp.minimum(nchunks_ref[t], nckeff_ref[t])
     P = tile_size * tile_size
     pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
 
@@ -292,14 +305,9 @@ def _bwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref, g_ref,
             Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
             return T_col, Sdot
 
-        def dead(c):
-            # every pixel saturated: all remaining grads are zero, but
-            # the tile's exclusive buffer rows must still be written
-            dbuf[slot] = jnp.zeros((D_ROWS, K), jnp.float32)
-            return c
-
-        alive = jnp.max(T_col) >= T_thresh
-        T_col, Sdot = jax.lax.cond(alive, heavy, dead, (T_col, Sdot))
+        # no saturation branch needed: every chunk in [0, nck) was
+        # processed by the forward, so some pixel is always live here
+        T_col, Sdot = heavy((T_col, Sdot))
         wdma(slot, i).start()
         return T_col, Sdot
 
@@ -347,7 +355,7 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
         functools.partial(_bwd_kernel, tile_size=tile_size,
                           n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
@@ -379,13 +387,22 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
 
     def core_bwd(res, g):
         dup, starts, nchunks, geom, out = res
-        dgrad = bwd_call(starts, nchunks, geom, dup, out, g)
-        # rows beyond the last tile's aligned segment are never written by
-        # any chunk DMA — mask them (uninitialized memory must not reach
-        # the scatter-add back onto Gaussians)
-        total = starts[-1] + nchunks[-1] * K
+        nckeff = out[:, CH_OUT - 1, 0].astype(jnp.int32)
+        dgrad = bwd_call(starts, nchunks, nckeff, geom, dup, out, g)
+        # Rows the bounded walk never wrote hold uninitialized memory and
+        # must not reach the scatter-add back onto Gaussians: per-tile
+        # dead zones [start + nckeff*K, start + nchunks*K) plus
+        # everything beyond the last segment.  Scatter+cumsum, not
+        # searchsorted (the slow primitive on TPU).
+        dead_start = starts + nckeff * K
+        seg_end = starts + nchunks * K
+        delta = (jnp.zeros((cap + 1,), jnp.int32)
+                 .at[dead_start].add(1, mode="drop")
+                 .at[seg_end].add(-1, mode="drop"))
+        in_dead = jnp.cumsum(delta[:cap]) > 0
         row = jnp.arange(cap, dtype=jnp.int32)
-        dgrad = jnp.where((row < total)[None, :], dgrad, 0.0)
+        keep = (~in_dead) & (row < seg_end[-1])
+        dgrad = jnp.where(keep[None, :], dgrad, 0.0)
         return dgrad, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
