@@ -133,6 +133,10 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
 
     tr_d = dict(cfg.get("trainer", {}))
     loss_d = tr_d.pop("loss", {})
+    # reference keeps estimators at the top level (conf/base.yaml
+    # estimators.depth/normal with enabled/value); accept both spots
+    if "estimators" in cfg:
+        tr_d.setdefault("estimators", cfg["estimators"])
     tcfg = _from_dict(TrainerConfig, tr_d)
     tcfg = dataclasses.replace(tcfg, loss=_from_dict(LossConfig, loss_d))
 
@@ -214,6 +218,17 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
                 else np.ones(rgba.shape[:2], bool))
         if img_d.get("depth"):
             depth = np.load(img_d["depth"]).astype(np.float32)
+        elif img_d.get("dpt_checkpoint"):
+            # reference trainer.py:137-146: DPT monocular depth,
+            # recentered on the foreground mean, scaled, shifted to the
+            # camera distance
+            from .priors.dpt import DPTEstimator
+            est = DPTEstimator.from_checkpoint(img_d["dpt_checkpoint"],
+                                               mode="depth")
+            d = np.asarray(est(jnp.asarray(rgb)[None])[0, ..., 0])
+            depth = ((d - d[mask].mean())
+                     * float(img_d.get("depth_scale", 100.0))
+                     + float(img_d.get("distance", 2.5))).astype(np.float32)
         else:
             depth = np.full(rgb.shape[:2],
                             float(img_d.get("default_depth", 2.5)), np.float32)

@@ -69,7 +69,9 @@ def flax_path_to_torch_key(path: Tuple[str, ...]) -> Tuple[str, str]:
         return f"{prefix}.weight", "embedding"
     if leaf == "bias":
         return f"{prefix}.bias", "bias"
-    raise KeyError(f"unknown flax leaf {leaf!r} at {path}")
+    # bare parameters that are torch module attributes rather than
+    # (weight, bias) pairs — e.g. ViT ``cls_token`` / ``pos_embed``
+    return (f"{prefix}.{leaf}" if prefix else leaf), "raw"
 
 
 def _to_flax_leaf(kind: str, arr: np.ndarray) -> np.ndarray:

@@ -97,6 +97,8 @@ class RenderConfig:
     normal_type: str = "estimated"   # estimated | learned
     normal_neighborhood: int = 16    # KNN size for normal estimation
     normal_as_rgb: bool = False      # render normals as color (debug)
+    render_normal: bool = False      # composite a normal map channel
+                                     # (estimator losses, trainer.py:443-455)
 
 
 def activate(params: GaussianParams, cfg: RenderConfig):
@@ -258,9 +260,13 @@ def render_view(
     if rgb_only:
         feats = color
     else:
-        feats = jnp.concatenate(
-            [color, proj.depth[:, None], (proj.depth * proj.depth)[:, None]],
-            axis=-1)
+        feats = [color, proj.depth[:, None], (proj.depth * proj.depth)[:, None]]
+        if cfg.render_normal:
+            # [0,1]-encoded normals as 3 extra channels of the ONE pass
+            # (the reference composites normals in a separate launch;
+            # estimator_loss_step expects out["normal"] in that encoding)
+            feats.append((scene_normals(params, active, cfg) + 1.0) * 0.5)
+        feats = jnp.concatenate(feats, axis=-1)
 
     oy = jnp.asarray(pixel_offset_y, jnp.float32)
     topleft = (-cx / fx, (oy - cy) / fy)
@@ -295,6 +301,8 @@ def render_view(
             radii2d=jnp.where(vis, screen_radii(proj.cov2d), 0.0),
             visible=vis,
         )
+        if cfg.render_normal:
+            out["normal"] = img[..., 5:8]
     return out
 
 

@@ -66,13 +66,19 @@ class TrainerConfig:
     lr: Dict[str, Any] = dataclasses.field(default_factory=lambda: dict(
         mean=[0.005, 3.0e-5, 15000, "exp"],
         svec=[0.003, 0.001, 15000, "exp"],
-        qvec=0.003, color=0.01, alpha=0.003, bg=0.003))
+        qvec=0.003, color=0.01, alpha=0.003, bg=0.003,
+        # trainable guidance params (VSD LoRA; reference lora_lr
+        # stable_diffusion_vsd.py:135)
+        guidance=1e-4))
     loss: LossConfig = dataclasses.field(default_factory=LossConfig)
     # name -> dict(type=..., value=C-spec) (conf/base.yaml:172-175)
     penalty: Dict[str, Dict] = dataclasses.field(default_factory=lambda: {
         "alpha": {"type": "center_weighted", "value": 0.0}})
     log_period: int = 100
     save_period: int = 2000
+    # DPT estimator losses (reference trainer.py:101-107,424-456):
+    # name -> dict(enabled=..., value=C-spec, checkpoint=path)
+    estimators: Dict[str, Dict] = dataclasses.field(default_factory=dict)
     # bucketed duplicate capacity: the reference allocates the exact
     # N_with_dub per frame via a host sync (gs/culling.py:34); with
     # static shapes we pick a power-of-two bucket from the previous
@@ -115,6 +121,7 @@ class Trainer:
                  grad_mask: Optional[jnp.ndarray] = None,
                  mask_steps: tuple = (-1, -1),          # (start, end)
                  tile_mesh: Optional[Any] = None,       # Mesh for tile sharding
+                 estimators: Optional[Dict[str, Any]] = None,  # name -> DPTEstimator
                  logger: Optional[Any] = None):
         self.cfg = cfg
         self.rcfg = rcfg
@@ -130,6 +137,25 @@ class Trainer:
         self.tile_mesh = tile_mesh
         self.data = CameraPoseProvider(data_cfg, seed=cfg.seed)
         self.logger = logger
+
+        # DPT estimator losses (reference estimator_loss_step,
+        # trainer.py:424-456); estimators can be injected for tests
+        if estimators is None:
+            estimators = {}
+            for name, d in cfg.estimators.items():
+                if not d.get("enabled", False):
+                    continue
+                from ..priors.dpt import DPTEstimator
+                if not d.get("checkpoint"):
+                    raise ValueError(
+                        f"estimators.{name}.checkpoint required (omnidata "
+                        f".ckpt asset; see gsgen_tpu/priors/dpt.py)")
+                estimators[name] = DPTEstimator.from_checkpoint(
+                    d["checkpoint"], mode=name)
+        self.estimators = estimators
+        if "normal" in self.estimators and not rcfg.render_normal:
+            rcfg = dataclasses.replace(rcfg, render_normal=True)
+            self.rcfg = rcfg
 
         key = jax.random.PRNGKey(cfg.seed)
         k_init, k_bg, k_state = jax.random.split(key, 3)
@@ -179,6 +205,9 @@ class Trainer:
             s["w_depth"] = c(self.cfg.loss.depth)
         if self.aux_guidance is not None:
             s["w_aux"] = c(self.cfg.loss.aux_guidance)
+        for name in self.estimators:
+            s[f"w_est_{name}"] = c(
+                self.cfg.estimators.get(name, {}).get("value", 1.0))
         ms, me = self.mask_steps
         s["grad_mask_on"] = 1.0 if (self.grad_mask is not None
                                     and ms <= step <= me) else 0.0
@@ -247,6 +276,23 @@ class Trainer:
                     emb_aux, k_g)
                 loss = loss + sched["w_aux"] * ag["loss_aux"]
                 metrics.update(ag)
+            for name, est in self.estimators.items():
+                # reference estimator_loss_step (trainer.py:424-456): run
+                # DPT on the rendered rgb, compare with the rendered
+                # depth (1 - pearson) / normal map (mse); grads flow
+                # through DPT back into the render
+                pred = est.estimate(
+                    outs["rgb"].reshape((-1,) + outs["rgb"].shape[-3:]))
+                if name == "depth":
+                    from .losses import pearson_depth_loss
+                    per = jax.vmap(pearson_depth_loss)(
+                        pred[..., 0], outs["depth"].reshape(pred[..., 0].shape))
+                    est_loss = jnp.mean(per)
+                else:
+                    nrm = outs["normal"].reshape(pred.shape)
+                    est_loss = jnp.mean((nrm - jnp.clip(pred, 0., 1.)) ** 2)
+                loss = loss + sched[f"w_est_{name}"] * est_loss
+                metrics[f"loss_est_{name}"] = est_loss
             if not cfg.rgb_only:
                 # trainer.py:345-383
                 sparsity = jnp.mean(jnp.sqrt(outs["opacity"] ** 2 + 0.01))
