@@ -58,20 +58,32 @@ class MakeIt3DGuidance(SDSGuidance):
     """SDS + CLIP-reference loss (guidance/make_it_3d.py:25-260)."""
 
     def __init__(self, cfg: MakeIt3DConfig, backbone=None,
-                 image_encoder=None, ref_image=None):
+                 image_encoder=None, ref_image=None, ref_text_embed=None):
+        """``image_encoder``: anything with ``.params`` and
+        ``.encode(params, imgs) -> [B, D]`` — the real tower is
+        :class:`gsgen_tpu.prompt.clip_vision.CLIPImageEncoder` over
+        provisioned ViT-B/16 weights; the mock keeps tests hermetic.
+        ``ref_text_embed``: optional L2-normalized CLIP text embedding
+        of the prompt (the ``clip_text_loss`` term of
+        make_it_3d.py:258-260)."""
         super().__init__(cfg, backbone)
         self.image_encoder = image_encoder or MockImageEncoder()
         self.ref_image = ref_image
+        self.ref_text_embed = ref_text_embed
 
     def clip_ref_loss(self, rgb, is_original) -> jax.Array:
-        """1 - cos(clip(render), clip(ref)) on NOVEL views
-        (get_normal_clip_loss, make_it_3d.py:186-220)."""
+        """1 - cos(clip(render), clip(ref)) on NOVEL views, plus the
+        text-alignment term when a prompt embedding was provided
+        (get_normal_clip_loss, make_it_3d.py:244-260)."""
         enc = self.image_encoder
         f_r = enc.encode(enc.params, rgb)                   # [B, D]
         f_ref = enc.encode(enc.params, self.ref_image[None])[0]
-        sim = jnp.sum(f_r * f_ref[None, :], axis=-1)
+        dissim = 1.0 - jnp.sum(f_r * f_ref[None, :], axis=-1)
+        if self.ref_text_embed is not None:
+            dissim = dissim + (
+                1.0 - jnp.sum(f_r * self.ref_text_embed[None, :], axis=-1))
         novel = 1.0 - is_original
-        return jnp.sum((1.0 - sim) * novel) / jnp.maximum(
+        return jnp.sum(dissim * novel) / jnp.maximum(
             jnp.sum(novel), 1e-6)
 
     def loss(self, params, rgb, embedding, elevation, azimuth,

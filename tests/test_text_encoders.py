@@ -81,6 +81,55 @@ def test_t5_matches_transformers_oracle():
                                atol=3e-5)
 
 
+def test_clip_vision_matches_transformers_oracle():
+    from gsgen_tpu.prompt.clip_vision import TINY_VISION, load_clip_vision
+    hf_cfg = transformers.CLIPVisionConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=2, image_size=32, patch_size=8,
+        projection_dim=16, hidden_act="quick_gelu")
+    torch.manual_seed(3)
+    model = transformers.CLIPVisionModelWithProjection(hf_cfg).eval()
+    px = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        want = model(px).image_embeds.numpy()
+
+    module, params = load_clip_vision(
+        {k: v.numpy() for k, v in model.state_dict().items()},
+        TINY_VISION, projection_dim=16)
+    got = np.asarray(module.apply(
+        params, jnp.asarray(px.numpy()).transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(got, want, rtol=3e-4, atol=3e-5)
+
+
+def test_clip_image_encoder_in_make_it_3d():
+    """The real vision tower plugs into MakeIt3D's clip_ref_loss and
+    yields finite grads w.r.t. the rendered image."""
+    from gsgen_tpu.prompt.clip_vision import (CLIPImageEncoder,
+                                              CLIPVisionModelWithProjection,
+                                              TINY_VISION)
+    module = CLIPVisionModelWithProjection(TINY_VISION, 16)
+    params = module.init(jax.random.PRNGKey(0),
+                         jnp.zeros((1, 32, 32, 3)))
+    enc = CLIPImageEncoder(module, params)
+    ref = jax.random.uniform(jax.random.PRNGKey(1), (24, 24, 3))
+
+    from gsgen_tpu.guidance.make_it_3d import (MakeIt3DConfig,
+                                               MakeIt3DGuidance)
+    text_embed = enc.encode(params, ref[None])[0]  # any unit vector
+    g = MakeIt3DGuidance(MakeIt3DConfig(), backbone=None,
+                         image_encoder=enc, ref_image=ref,
+                         ref_text_embed=text_embed)
+    rgb = jax.random.uniform(jax.random.PRNGKey(2), (2, 24, 24, 3))
+    is_orig = jnp.array([1.0, 0.0])
+
+    loss, grad = jax.value_and_grad(
+        lambda x: g.clip_ref_loss(x, is_orig))(rgb)
+    assert np.isfinite(float(loss))
+    # the original view is masked out of the loss
+    assert float(jnp.abs(grad[0]).max()) == 0.0
+    assert float(jnp.abs(grad[1]).max()) > 0.0
+
+
 def test_t5_relative_bias_long_range():
     """Bias bucketing beyond max_distance saturates, not crashes."""
     from gsgen_tpu.prompt.t5 import relative_position_bucket
