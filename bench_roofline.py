@@ -26,6 +26,27 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _slope_time(fn, k_lo=8, k_hi=64):
+    """Marginal per-iteration device time of ``fn(k) -> scalar array``.
+
+    Two rules learned the hard way on the tunneled (axon) platform:
+    (1) ``block_until_ready`` on a large device array returns before the
+    computation finishes — only *fetching a scalar value* forces a true
+    sync; (2) every dispatch carries a fixed ~35 ms host<->TPU round
+    trip.  So: reduce to a scalar, fetch it with float(), and take the
+    slope between two trip counts to cancel the fixed latency.  The trip
+    count is a TRACED argument — with a static bound XLA unrolls the
+    fori_loop and fuses the per-iteration elementwise ops into one HBM
+    pass, inflating measured bandwidth ~iters-fold."""
+    def timed(k):
+        kj = jnp.int32(k)
+        float(fn(kj))                        # warm / compile
+        t0 = time.perf_counter()
+        float(fn(kj))                        # value fetch = real sync
+        return time.perf_counter() - t0
+    return (timed(k_hi) - timed(k_lo)) / (k_hi - k_lo)
+
+
 def measure_peaks():
     """Empirical HBM BW (big streaming add) + fp32 VPU throughput
     (high-arithmetic-intensity elementwise iteration).  Each fori_loop
@@ -33,43 +54,38 @@ def measure_peaks():
     cannot be algebraically collapsed (unlike an affine chain, which
     XLA folds into a single FMA)."""
     n = 1 << 26                      # 64M floats = 256 MB
-    iters = 8
 
     @jax.jit
-    def stream_many(x0):
-        return jax.lax.fori_loop(0, iters, lambda i, y: y + 1.0, x0)
+    def stream_many(x0, k):
+        y = jax.lax.fori_loop(0, k, lambda i, y: y + 1.0, x0)
+        return jnp.sum(y)
 
     x = jnp.ones((n,), jnp.float32)
-    jax.block_until_ready(stream_many(x))
-    t0 = time.perf_counter()
-    jax.block_until_ready(stream_many(x))
-    dt = time.perf_counter() - t0
-    hbm_bw = iters * 2 * n * 4 / dt          # read + write per iter
+    dt = _slope_time(lambda k: stream_many(x, k))
+    hbm_bw = 2 * n * 4 / dt                  # read + write per iter
 
     deg = 64                                 # quadratic maps per iter
     m = 1 << 24
 
     @jax.jit
-    def poly_many(x0):
+    def poly_many(x0, k):
         def step(i, y):
             for _ in range(deg):
                 y = y * y - 0.1              # bounded orbit from y0=0.3
             return y
-        return jax.lax.fori_loop(0, iters, step, x0)
+        y = jax.lax.fori_loop(0, k, step, x0)
+        return jnp.sum(y)
 
     xs = jnp.full((m,), 0.3, jnp.float32)
-    jax.block_until_ready(poly_many(xs))
-    t0 = time.perf_counter()
-    jax.block_until_ready(poly_many(xs))
-    dt = time.perf_counter() - t0
-    vpu_flops = iters * deg * 2 * m / dt
+    dt = _slope_time(lambda k: poly_many(xs, k))
+    vpu_flops = deg * 2 * m / dt
     return hbm_bw, vpu_flops
 
 
 def main():
     n_gauss = int(os.environ.get("BENCH_N", 100_000))
     reso = int(os.environ.get("BENCH_RESO", 512))
-    iters = int(os.environ.get("BENCH_ITERS", 10))
+    iters = int(os.environ.get("BENCH_ITERS", 50))
     saturated = bool(os.environ.get("BENCH_SAT"))
 
     from gsgen_tpu.models.scene import RenderConfig, render_view, activate
@@ -82,8 +98,8 @@ def main():
     from gsgen_tpu.ops.pallas_raster import (pack_dup, rasterize_tiles_pallas,
                                              D_ROWS, CH_OUT)
 
-    cap = 1 << 19
-    chunk = 256
+    cap = 1 << int(os.environ.get("BENCH_CAP_LOG", 18))
+    chunk = int(os.environ.get("BENCH_CHUNK", 128))
     rcfg = RenderConfig(dup_cap=cap, chunk=chunk)
     intr = CameraIntrinsics.from_reso(reso)
     tile = rcfg.tile_size
@@ -152,18 +168,16 @@ def main():
                 + jnp.mean(out["T"]))
 
     # ---- timings (chained; additive eps on a traced input defeats
-    # hoisting because each iteration's input differs) -------------------
+    # hoisting because each iteration's input differs; scalar value
+    # fetch + two-point slope per _slope_time's rules) -------------------
     def time_chain(make_body, *args, label=""):
         @jax.jit
-        def many(*a):
+        def many(k, *a):
             def step(i, c):
                 return make_body(c, *a)
-            return jax.lax.fori_loop(0, iters, step, jnp.float32(0.0))
-        jax.block_until_ready(many(*args))
-        t0 = time.perf_counter()
-        jax.block_until_ready(many(*args))
-        dt = (time.perf_counter() - t0) / iters
-        return dt
+            return jax.lax.fori_loop(0, k, step, jnp.float32(0.0))
+        return _slope_time(lambda k: many(k, *args),
+                           k_lo=iters // 4, k_hi=iters)
 
     t_proj = time_chain(
         lambda c, p: c + 1e-20 * jnp.sum(
