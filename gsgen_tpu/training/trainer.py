@@ -90,6 +90,13 @@ class TrainerConfig:
     eval_elevation: float = 45.0
     eval_n_frames: int = 30
     eval_camera_distance: float = 2.5
+    # XLA profiler capture window [start_step, end_step) -> Perfetto
+    # trace in <run_dir>/profile (the reference's nsight brackets,
+    # gs/renderer.py:698-806); None disables
+    profile_steps: Any = None
+    # per-field value stats every N steps (0 = off); scalar form of the
+    # reference's histogram logging (gs/gaussian_splatting.py:1489-1564)
+    field_stats_period: int = 0
 
 
 class TrainState(NamedTuple):
@@ -491,9 +498,21 @@ class Trainer:
         n = n_steps or self.cfg.max_steps
         start = int(self.state.step)
         eval_rng = np.random.default_rng(self.cfg.seed + 1)
+        prof = self.cfg.profile_steps
         for step in range(start, start + n):
+            if prof is not None and step == int(prof[0]):
+                from ..utils import profiling
+                logdir = (str(self.logger.dir / "profile")
+                          if self.logger is not None else "profile")
+                self._trace = profiling.trace(logdir)
+                self._trace.__enter__()
             metrics = self.train_step(step)
             dinfo = self.density_step(step)
+            if prof is not None and step + 1 == int(prof[1]) \
+                    and getattr(self, "_trace", None) is not None:
+                jax.block_until_ready(self.state.scene.params.mean)
+                self._trace.__exit__(None, None, None)
+                self._trace = None
             if callback is not None:
                 callback(step, {**metrics, **dinfo})
             if self.logger is not None:
@@ -511,6 +530,11 @@ class Trainer:
             m["num_gaussians"] = int(num_active(self.state.scene))
             m.update({k: float(v) for k, v in self.sched_scalars(step).items()})
             log.log_scalars(step, m)
+        if cfg.field_stats_period and step % cfg.field_stats_period == 0:
+            from ..utils.profiling import field_stats
+            p = self.state.scene.params
+            log.log_scalars(step, field_stats(
+                {f: getattr(p, f) for f in p._fields}))
         intr = self.data.intrinsics()
         if cfg.eval_image_period and step % cfg.eval_image_period == 0:
             img = eval_image(self.state.scene, intr, self.rcfg, eval_rng,

@@ -189,3 +189,40 @@ def test_dup_bucket_adjustment():
     for _ in range(19):
         trainer._adjust_dup_bucket(10)
     assert trainer.dup_bucket == cap0
+
+
+def test_profiling_trace_and_field_stats(tmp_path):
+    from gsgen_tpu.utils.profiling import annotate, field_stats, trace
+    from gsgen_tpu.io.logging import RunLogger
+
+    with trace(str(tmp_path / "prof")):
+        with annotate("probe"):
+            jnp.sum(jnp.ones((64, 64))).block_until_ready()
+    assert list((tmp_path / "prof").rglob("*"))   # trace artifacts written
+
+    stats = field_stats({"mean": jnp.arange(4.0), "alpha": jnp.ones(3),
+                         "specular": None})
+    assert stats["fields/mean/max"] == 3.0
+    assert stats["fields/alpha/rms"] == pytest.approx(1.0)
+    assert not any("specular" in k for k in stats)
+
+    # trainer wiring: profile window + field stats land in scalars.jsonl
+    import json
+    logger = RunLogger(root=str(tmp_path / "runs"), name="t",
+                       use_tensorboard=False)
+    tcfg = TrainerConfig(max_steps=3, batch_size=1, profile_steps=(1, 2),
+                         field_stats_period=1, eval_image_period=0,
+                         eval_video_period=0, save_period=0)
+    trainer = Trainer(
+        cfg=tcfg, rcfg=RCFG,
+        init_cfg=InitConfig(num_points=32, capacity=32, svec_val=0.05),
+        bg_cfg=BackgroundConfig(type="fixed"),
+        data_cfg=CameraSamplerConfig(batch_size=1, max_steps=3, reso=(16,)),
+        guidance=MockGuidance(),
+        dcfg=DensifyConfig(enabled=False), pcfg=PruneConfig(enabled=False),
+        logger=logger)
+    trainer.fit(n_steps=2)
+    lines = [json.loads(l) for l in
+             open(logger.dir / "scalars.jsonl").read().splitlines()]
+    assert any("fields/mean/rms" in rec for rec in lines)
+    assert (logger.dir / "profile").exists()
