@@ -48,6 +48,11 @@ class BinnedTiles(NamedTuple):
     total:    [] int32 — exact number of duplicates before capacity drop
         (the reference's N_with_dub; compare against ``cap`` to detect
         overflow).
+    gid_cum:  [N] int32 — inclusive cumsum of per-Gaussian SURVIVING
+        duplicate counts (capacity drop applied).  Lets the rasterizer's
+        backward aggregate duplicate-row gradients with a sort+segment
+        scan instead of a scatter-add: after sorting rows by Gaussian
+        id, Gaussian g's rows end at ``gid_cum[g] - 1``.
     """
 
     padded_gid: jax.Array
@@ -55,6 +60,7 @@ class BinnedTiles(NamedTuple):
     starts: jax.Array
     ends: jax.Array
     total: jax.Array
+    gid_cum: jax.Array
 
 
 def tile_aabbs(
@@ -170,17 +176,36 @@ def bin_gaussians(
     starts = aligned_start
     ends = aligned_start + seg_len
 
-    # scatter sorted gids into the aligned layout
+    # Destination of sorted row j: pos = j + offset(tile), with
+    # offset(t) = aligned_start[t] - start_c[t], piecewise constant over
+    # each tile's run.  Materializing offset via aligned_start[tile_s] /
+    # start_c[tile_s] costs two [cap]-sized 1-D gathers (~3 ms at 256K on
+    # TPU — 1-D gathers are the slow primitive; row gathers are not);
+    # instead scatter the n_tiles offsets at each run's first row and
+    # forward-fill with a cummax scan.  The fill is exact because offset
+    # is non-decreasing in tile order (aligned_len >= seg_len), the first
+    # run starts at row 0, and empty tiles share both start_c and
+    # aligned_start with their next non-empty tile (identical offset, so
+    # colliding scatters agree).
     j = jnp.arange(cap, dtype=jnp.int32)
     in_seg = tile_s < n_tiles
-    tile_s_safe = jnp.clip(tile_s, 0, n_tiles - 1)
-    pos = aligned_start[tile_s_safe] + (j - start_c[tile_s_safe])
-    pos = jnp.where(in_seg, pos, cap_padded)  # out-of-bounds -> dropped
+    offset_t = aligned_start - start_c                     # [n_tiles]
+    off = jax.lax.cummax(
+        jnp.full((cap,), jnp.int32(-(1 << 30))).at[
+            jnp.clip(start_c, 0, cap - 1)].max(offset_t, mode="drop"))
+    pos = jnp.where(in_seg, j + off, cap_padded)  # out-of-bounds -> dropped
 
     padded_gid = jnp.zeros((cap_padded,), jnp.int32).at[pos].set(
         gid_s, mode="drop")
-    row_valid = jnp.zeros((cap_padded,), jnp.bool_).at[pos].set(
-        True, mode="drop")
+    # row_valid[r] = r < end(tile-of-r): same tiny-scatter + cummax trick
+    # on the padded domain (replaces a second [cap]->[cap_padded] scatter)
+    end_fill = jax.lax.cummax(
+        jnp.zeros((cap_padded,), jnp.int32).at[
+            jnp.clip(aligned_start, 0, cap_padded - 1)].max(
+                ends, mode="drop"))
+    row_valid = jnp.arange(cap_padded, dtype=jnp.int32) < end_fill
 
+    gid_cum = jnp.minimum(cum, jnp.minimum(jnp.int32(cap), total))
     return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
-                       starts=starts, ends=ends, total=total)
+                       starts=starts, ends=ends, total=total,
+                       gid_cum=gid_cum)

@@ -409,13 +409,70 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
     return core
 
 
-def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int):
+def _pack_rows(table, gid, valid):
+    rows = table[gid]                                           # [cap, 16]
+    dup = rows.T
+    return dup.at[5, :].set(jnp.where(valid, dup[5, :], 0.0))
+
+
+@jax.custom_vjp
+def _pack_seg(table, gid, valid, gid_cum):
+    return _pack_rows(table, gid, valid)
+
+
+def _pack_seg_fwd(table, gid, valid, gid_cum):
+    n = table.shape[0]
+    return _pack_rows(table, gid, valid), (gid, valid, gid_cum, n)
+
+
+def _pack_seg_bwd(res, ddup):
+    """Aggregate duplicate-row cotangents back per Gaussian.
+
+    The gather's autodiff transpose is a [cap,16]->[N,16] scatter-add,
+    which XLA serializes (~5 ms at 393K rows on v5e — the single
+    hottest op of the e2e grad step).  Instead: sort row cotangents by
+    Gaussian id (2-operand sort), sum each Gaussian's contiguous run
+    with a segmented prefix scan, and read the per-Gaussian totals at
+    the run ends given by ``gid_cum`` (two fast row gathers).  Padding
+    rows sort to the sentinel segment ``n`` and are discarded — sound
+    because their only analytically nonzero channel (alpha, row 5) is
+    exactly the one the forward zeroes for invalid rows.
+    """
+    gid, valid, gid_cum, n = res
+    cap = gid.shape[0]
+    key = jnp.where(valid, gid, n).astype(jnp.int32)
+    skey, perm = jax.lax.sort(
+        (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True)
+    g = ddup.T[perm]                                            # [cap, 16]
+    flag = jnp.concatenate(
+        [jnp.ones((1,), jnp.float32),
+         (skey[1:] != skey[:-1]).astype(jnp.float32)])
+
+    def comb(a, b):
+        va, fa = a
+        vb, fb = b
+        return va * (1.0 - fb)[:, None] + vb, jnp.maximum(fa, fb)
+
+    scan, _ = jax.lax.associative_scan(comb, (g, flag), axis=0)
+    bound = jnp.clip(gid_cum - 1, 0, cap - 1)
+    prev = jnp.concatenate([jnp.zeros((1,), gid_cum.dtype), gid_cum[:-1]])
+    dtable = jnp.where((gid_cum > prev)[:, None], scan[bound], 0.0)
+    return dtable, None, None, None
+
+
+_pack_seg.defvjp(_pack_seg_fwd, _pack_seg_bwd)
+
+
+def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int,
+             gid_cum=None):
     """Gather per-duplicate rows into the [16, cap] kernel layout.
 
     ONE [N, 16] row-gather + transpose instead of 13 separate [cap]
     gathers (~8x cheaper on TPU; random scalar gathers are the slow
-    primitive).  Differentiable; the autodiff transpose is a single
-    deterministic row scatter-add back onto Gaussians.
+    primitive).  Differentiable.  With ``gid_cum`` (from
+    ``BinnedTiles.gid_cum``) the backward uses the sort+segment-scan
+    aggregation of :func:`_pack_seg_bwd`; without it, the gather's
+    autodiff transpose (a deterministic row scatter-add) applies.
     """
     F = feats.shape[-1]
     assert F <= MAX_F
@@ -423,9 +480,9 @@ def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int):
     table = jnp.concatenate(
         [mean2d, conic, alpha[:, None], feats,
          jnp.zeros((n, D_ROWS - 6 - F), jnp.float32)], axis=1)  # [N, 16]
-    rows = table[gid]                                           # [cap, 16]
-    dup = rows.T
-    return dup.at[5, :].set(jnp.where(valid, dup[5, :], 0.0))
+    if gid_cum is not None:
+        return _pack_seg(table, gid, valid, gid_cum)
+    return _pack_rows(table, gid, valid)
 
 
 @functools.partial(
@@ -455,7 +512,7 @@ def rasterize_tiles_pallas(
     assert cap % chunk == 0
 
     dup = pack_dup(mean2d, conic, alpha, feats, bins.padded_gid,
-                   bins.row_valid, cap)
+                   bins.row_valid, cap, gid_cum=bins.gid_cum)
     counts = bins.ends - bins.starts
     nchunks = (counts + chunk - 1) // chunk
     geom = jnp.stack([jnp.float32(topleft[0]), jnp.float32(topleft[1]),

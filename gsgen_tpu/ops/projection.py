@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from .camera import CameraIntrinsics, get_frustum, sphere_in_frustum
-from .transforms import quat_scale_to_cov3d
+from .transforms import normalize_quat, quat_scale_to_cov3d
 
 
 class ProjectedGaussians(NamedTuple):
@@ -82,12 +82,40 @@ def project_gaussians(
     z_safe = jnp.where(in_front, z_raw, jnp.maximum(z_raw, near))
     u = u.at[..., 2].set(z_safe)
 
-    sigma = quat_scale_to_cov3d(qvec, svec)                      # [N, 3, 3]
-    W = c2w[:3, :3].T                                            # world->cam rotation
-    J = jax.lax.stop_gradient(perspective_jacobian(u))           # @no_grad in reference
-    JW = jnp.einsum("nij,jk->nik", J, W)
-    cov_full = jnp.einsum("nij,njk,nlk->nil", JW, sigma, JW)
-    cov2d = cov_full[..., :2, :2]
+    # cov2d = (J W) Sigma (J W)^T restricted to the top-left 2x2, with
+    # Sigma = (R diag(s))(R diag(s))^T.  Algebraically identical to the
+    # einsum chain over [N,3,3] operands, but written as elementwise
+    # component math: batched 3x3 dot_generals are a pathological MXU
+    # shape on TPU (3-wide contractions padded to 128 lanes, <1%
+    # utilization, measured ~4 ms/step at 100K Gaussians in the e2e
+    # profile), while this form fuses into one VPU pass.  Only rows 0,1
+    # of the EWA Jacobian reach cov2d; the norm row is discarded by the
+    # 2x2 slice, so it is never built.
+    x_c, y_c = u[..., 0], u[..., 1]
+    inv_z = jax.lax.stop_gradient(1.0 / z_safe)      # @no_grad in reference
+    jx = jax.lax.stop_gradient(-x_c * inv_z * inv_z)
+    jy = jax.lax.stop_gradient(-y_c * inv_z * inv_z)
+    W = c2w[:3, :3].T                                # world->cam rotation
+    # A = J[:2] @ W, per-component: A[i,k] = inv_z*W[i,k] + j_i*W[2,k]
+    a = [[inv_z * W[i, k] + (jx if i == 0 else jy) * W[2, k]
+          for k in range(3)] for i in range(2)]
+    q = normalize_quat(qvec)
+    qw, qx, qy, qz = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r = [[1.0 - 2.0 * (qy * qy + qz * qz), 2.0 * (qx * qy - qw * qz),
+          2.0 * (qx * qz + qw * qy)],
+         [2.0 * (qx * qy + qw * qz), 1.0 - 2.0 * (qx * qx + qz * qz),
+          2.0 * (qy * qz - qw * qx)],
+         [2.0 * (qx * qz - qw * qy), 2.0 * (qy * qz + qw * qx),
+          1.0 - 2.0 * (qx * qx + qy * qy)]]
+    # B = A @ R @ diag(s):  B[i,k] = s_k * sum_j A[i,j] R[j,k]
+    b = [[svec[..., k] * (a[i][0] * r[0][k] + a[i][1] * r[1][k]
+                          + a[i][2] * r[2][k])
+          for k in range(3)] for i in range(2)]
+    c00 = b[0][0] * b[0][0] + b[0][1] * b[0][1] + b[0][2] * b[0][2]
+    c01 = b[0][0] * b[1][0] + b[0][1] * b[1][1] + b[0][2] * b[1][2]
+    c11 = b[1][0] * b[1][0] + b[1][1] * b[1][1] + b[1][2] * b[1][2]
+    cov2d = jnp.stack([jnp.stack([c00, c01], axis=-1),
+                       jnp.stack([c01, c11], axis=-1)], axis=-2)
 
     depth = u[..., 2]
     denom = jax.lax.stop_gradient(depth) if detach_depth else depth

@@ -118,3 +118,41 @@ def test_pallas_matches_xla_backend():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(img_p), np.asarray(img_x),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pack_seg_vjp_matches_autodiff_scatter():
+    """The sort+segment-scan pack backward (used when gid_cum is given)
+    must match the gather's autodiff transpose for pipeline-shaped
+    cotangents (invalid rows carry signal only on the alpha row — the
+    kernel's other channels are analytically zero there because the
+    packed alpha is zero)."""
+    from gsgen_tpu.ops.pallas_raster import pack_dup
+
+    N, CAP = 500, 2048
+    mean2d = jax.random.normal(jax.random.PRNGKey(0), (N, 2))
+    conic = jax.random.normal(jax.random.PRNGKey(1), (N, 3))
+    alpha = jax.random.uniform(jax.random.PRNGKey(2), (N,))
+    feats = jax.random.normal(jax.random.PRNGKey(3), (N, 5))
+    gid = jax.random.randint(jax.random.PRNGKey(4), (CAP,), 0, N)
+    valid = jax.random.uniform(jax.random.PRNGKey(5), (CAP,)) < 0.7
+    cnt = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(valid, gid, N)].add(1, mode="drop")
+    gid_cum = jnp.cumsum(cnt)
+    cot = jax.random.normal(jax.random.PRNGKey(6), (16, CAP))
+    cot = cot * valid[None, :].astype(jnp.float32)
+    cot = cot.at[5].set(jax.random.normal(jax.random.PRNGKey(7), (CAP,)))
+
+    def loss(m2, cn, al, ft, use_seg):
+        return jnp.sum(pack_dup(m2, cn, al, ft, gid, valid, CAP,
+                                gid_cum=gid_cum if use_seg else None) * cot)
+
+    f0 = loss(mean2d, conic, alpha, feats, False)
+    f1 = loss(mean2d, conic, alpha, feats, True)
+    assert float(jnp.abs(f0 - f1)) == 0.0
+    g0 = jax.grad(loss, argnums=(0, 1, 2, 3))(mean2d, conic, alpha, feats,
+                                              False)
+    g1 = jax.grad(loss, argnums=(0, 1, 2, 3))(mean2d, conic, alpha, feats,
+                                              True)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
