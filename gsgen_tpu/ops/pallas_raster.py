@@ -431,32 +431,34 @@ def _pack_seg_bwd(res, ddup):
     The gather's autodiff transpose is a [cap,16]->[N,16] scatter-add,
     which XLA serializes (~5 ms at 393K rows on v5e — the single
     hottest op of the e2e grad step).  Instead: sort row cotangents by
-    Gaussian id (2-operand sort), sum each Gaussian's contiguous run
-    with a segmented prefix scan, and read the per-Gaussian totals at
-    the run ends given by ``gid_cum`` (two fast row gathers).  Padding
-    rows sort to the sentinel segment ``n`` and are discarded — sound
-    because their only analytically nonzero channel (alpha, row 5) is
-    exactly the one the forward zeroes for invalid rows.
+    Gaussian id (2-operand sort), take a plain inclusive prefix sum,
+    and recover each Gaussian's run total as the difference of the
+    prefix sums at its run boundaries given by ``gid_cum`` (two fast
+    row gathers).  Padding rows sort past every valid run (sentinel
+    key ``n``), so no boundary read sees them — sound because their
+    only analytically nonzero channel (alpha, row 5) is exactly the
+    one the forward zeroes for invalid rows.
+
+    A flagged segmented ``associative_scan`` computes the same totals
+    without the prefix-difference cancellation, but its log2(cap)
+    strided-slice levels made the TPU compile pathological (>15 min at
+    cap 2^18); the cumsum form compiles like any other op, and the
+    cancellation error (~eps * |prefix| / |run sum|) is orders below
+    the fp32 tolerance the gradient-parity tests hold.
     """
     gid, valid, gid_cum, n = res
     cap = gid.shape[0]
     key = jnp.where(valid, gid, n).astype(jnp.int32)
-    skey, perm = jax.lax.sort(
+    _, perm = jax.lax.sort(
         (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True)
     g = ddup.T[perm]                                            # [cap, 16]
-    flag = jnp.concatenate(
-        [jnp.ones((1,), jnp.float32),
-         (skey[1:] != skey[:-1]).astype(jnp.float32)])
-
-    def comb(a, b):
-        va, fa = a
-        vb, fb = b
-        return va * (1.0 - fb)[:, None] + vb, jnp.maximum(fa, fb)
-
-    scan, _ = jax.lax.associative_scan(comb, (g, flag), axis=0)
+    cs = jnp.cumsum(g, axis=0)
     bound = jnp.clip(gid_cum - 1, 0, cap - 1)
     prev = jnp.concatenate([jnp.zeros((1,), gid_cum.dtype), gid_cum[:-1]])
-    dtable = jnp.where((gid_cum > prev)[:, None], scan[bound], 0.0)
+    hi = cs[bound]
+    lo = jnp.where((prev > 0)[:, None], cs[jnp.clip(prev - 1, 0, cap - 1)],
+                   0.0)
+    dtable = jnp.where((gid_cum > prev)[:, None], hi - lo, 0.0)
     return dtable, None, None, None
 
 
