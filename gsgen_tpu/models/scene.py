@@ -255,7 +255,8 @@ def render_view(
         jax.lax.stop_gradient(proj.depth), vis,
         fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
         chunk=cfg.chunk, tile_culling_radius=cfg.tile_culling_radius,
-        pixel_offset_y=pixel_offset_y)
+        pixel_offset_y=pixel_offset_y,
+        alpha=jax.lax.stop_gradient(alpha))
 
     if rgb_only:
         feats = color

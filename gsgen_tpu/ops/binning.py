@@ -71,15 +71,32 @@ def tile_aabbs(
     tile_size: int,
     tile_culling_radius: float = 6.0,
     pixel_offset_y=0,
+    alpha=None,
 ):
     """Per-Gaussian inclusive tile-space AABB (tl_x, tl_y, br_x, br_y).
 
     Matches tile_culling_aabb_count (gs/culling.py:9-37): half extents
     ``sqrt(D * cov_ii)`` in camera-plane units, converted to pixels,
     clamped to the image, then floor-divided by tile_size.
+
+    With ``alpha`` (post-activation opacity), D tightens per Gaussian to
+    ``min(D, 2 ln(255 a_cl))`` — the exact support of the rasterizer's
+    hard ``a·G < 1/255`` zeroing (common.h:89 semantics): outside that
+    radius every contribution is identically zero, so the shrink changes
+    no pixel and no gradient while cutting duplicates for low-opacity
+    Gaussians (which dominate trained scenes).  Gaussians whose peak
+    contribution a_cl is below 1/255 get no footprint at all.
     """
-    hx = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 0, 0], 0.0))
-    hy = jnp.sqrt(jnp.maximum(tile_culling_radius * cov2d[..., 1, 1], 0.0))
+    D = jnp.asarray(tile_culling_radius, jnp.float32)
+    dropped = None
+    if alpha is not None:
+        from .oracle import ALPHA_CLAMP, MIN_RENDER_ALPHA
+        a_cl = jnp.minimum(alpha, ALPHA_CLAMP)
+        D = jnp.minimum(
+            D, 2.0 * jnp.log(jnp.maximum(a_cl, 1e-12) / MIN_RENDER_ALPHA))
+        dropped = D < 0.0
+    hx = jnp.sqrt(jnp.maximum(D * cov2d[..., 0, 0], 0.0))
+    hy = jnp.sqrt(jnp.maximum(D * cov2d[..., 1, 1], 0.0))
     # pixel bounds are computed in GLOBAL image coordinates and shifted
     # by the (integer) slab offset afterwards, so tile membership is
     # bit-identical between a full render and its tile-sharded slabs
@@ -93,6 +110,8 @@ def tile_aabbs(
     # tile-sharded slab rendering requires the drop)
     overlaps = ((br_px >= 0) & (tl_px <= w - 1)
                 & (br_py >= 0) & (tl_py <= h - 1))
+    if dropped is not None:
+        overlaps = overlaps & ~dropped
     tl_x = jnp.clip(tl_px, 0, w - 1) // tile_size
     tl_y = jnp.clip(tl_py, 0, h - 1) // tile_size
     br_x = jnp.clip(br_px, 0, w - 1) // tile_size
@@ -112,6 +131,7 @@ def bin_gaussians(
     chunk: int = 256,         # static kernel chunk size (segment alignment)
     tile_culling_radius: float = 6.0,
     pixel_offset_y=0,         # slab offset (tile-sharded rendering)
+    alpha=None,               # post-activation opacity: exact AABB shrink
 ) -> BinnedTiles:
     """Bin Gaussians into chunk-aligned, depth-sorted per-tile segments."""
     n_tiles_w = -(-w // tile_size)
@@ -121,7 +141,7 @@ def bin_gaussians(
 
     tl_x, tl_y, br_x, br_y, overlaps = tile_aabbs(
         mean2d, cov2d, fx, fy, cx, cy, w, h, tile_size, tile_culling_radius,
-        pixel_offset_y)
+        pixel_offset_y, alpha=alpha)
 
     width = br_x - tl_x + 1
     height = br_y - tl_y + 1

@@ -126,3 +126,58 @@ def test_capacity_overflow_drops_tail():
     assert int(binned.total) == int(full.total)  # total reports true demand
     kept = sum(int(e - s) for s, e in zip(binned.starts, binned.ends))
     assert kept == small_cap
+
+
+def test_alpha_aware_aabb_is_pixel_exact():
+    """Passing alpha shrinks footprints without changing any pixel or
+    gradient: outside min(D, 2 ln(255 a)) every contribution is hard-
+    zeroed by the rasterizer's 1/255 skip rule, so the dropped
+    duplicates were exact no-ops."""
+    from gsgen_tpu.ops.rasterize import rasterize_tiles
+
+    mean2d, cov2d, depth, active = simple_scene(n=48, seed=7)
+    key = jax.random.PRNGKey(8)
+    # spread of opacities: below 1/255 (no footprint), low (tight
+    # footprint), high (reference D governs)
+    alpha = jnp.concatenate([
+        jnp.full((8,), 1e-3), jnp.full((20,), 0.02),
+        jax.random.uniform(key, (20,), minval=0.3, maxval=0.95)])
+    feats = jax.random.uniform(jax.random.PRNGKey(9), (48, 4))
+    reso, tile, chunk = 64, 16, 8
+    f = float(reso)
+    kw = dict(fx=f, fy=f, cx=f / 2, cy=f / 2, w=reso, h=reso,
+              tile_size=tile, cap=2048, chunk=chunk)
+
+    def render(m2, al, use_alpha):
+        bins = B.bin_gaussians(m2, cov2d, depth, active,
+                               alpha=al if use_alpha else None, **kw)
+        img, T = rasterize_tiles(m2, _conic(cov2d), al, feats, bins,
+                                 (-0.5, -0.5), (1.0 / f, 1.0 / f),
+                                 w=reso, h=reso, tile_size=tile,
+                                 chunk=chunk)
+        return img, T, bins.total
+
+    def _conic(cv):
+        from gsgen_tpu.ops.projection import conic_from_cov2d
+        return conic_from_cov2d(cv)[0]
+
+    img0, t0_, tot0 = render(mean2d, alpha, False)
+    img1, t1_, tot1 = render(mean2d, alpha, True)
+    assert int(tot1) < int(tot0)          # footprints actually shrank
+    # dropped duplicates are exact no-ops; the only residual is ULP-level
+    # re-association when chunk boundaries shift
+    np.testing.assert_allclose(np.asarray(img0), np.asarray(img1),
+                               rtol=0, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(t0_), np.asarray(t1_),
+                               rtol=0, atol=5e-7)
+
+    def loss(m2, al, use_alpha):
+        img, T, _ = render(m2, al, use_alpha)
+        return jnp.sum(img ** 2) + jnp.sum(T)
+
+    g0 = jax.grad(loss, argnums=(0, 1))(mean2d, alpha, False)
+    g1 = jax.grad(loss, argnums=(0, 1))(mean2d, alpha, True)
+    np.testing.assert_allclose(np.asarray(g0[0]), np.asarray(g1[0]),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
+                               rtol=1e-5, atol=1e-6)
