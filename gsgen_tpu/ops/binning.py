@@ -76,8 +76,18 @@ def tile_aabbs(
     """Per-Gaussian inclusive tile-space AABB (tl_x, tl_y, br_x, br_y).
 
     Matches tile_culling_aabb_count (gs/culling.py:9-37): half extents
-    ``sqrt(D * cov_ii)`` in camera-plane units, converted to pixels,
-    clamped to the image, then floor-divided by tile_size.
+    bounding the ellipse ``{radial <= D}`` in camera-plane units,
+    converted to pixels, clamped to the image, then floor-divided by
+    tile_size.
+
+    The extents are derived from the CONIC the rasterizer evaluates
+    (``sqrt(D * C_cc / det C)`` — the exact max |dx| over the rendered
+    ellipse), not from cov2d directly: conic_from_cov2d's degeneracy
+    guard can make the rendered ellipse larger than the raw covariance
+    implies, and a cov-derived box then misses real contributions at
+    tile boundaries.  Binning must cover what the kernel will actually
+    composite, whatever numerical guards apply — in exact arithmetic the
+    two agree (``C_cc/det C == cov_xx``).
 
     With ``alpha`` (post-activation opacity), D tightens per Gaussian to
     ``min(D, 2 ln(255 a_cl))`` — the exact support of the rasterizer's
@@ -87,6 +97,8 @@ def tile_aabbs(
     Gaussians (which dominate trained scenes).  Gaussians whose peak
     contribution a_cl is below 1/255 get no footprint at all.
     """
+    from .projection import conic_from_cov2d
+
     D = jnp.asarray(tile_culling_radius, jnp.float32)
     dropped = None
     if alpha is not None:
@@ -95,8 +107,17 @@ def tile_aabbs(
         D = jnp.minimum(
             D, 2.0 * jnp.log(jnp.maximum(a_cl, 1e-12) / MIN_RENDER_ALPHA))
         dropped = D < 0.0
-    hx = jnp.sqrt(jnp.maximum(D * cov2d[..., 0, 0], 0.0))
-    hy = jnp.sqrt(jnp.maximum(D * cov2d[..., 1, 1], 0.0))
+    conic, _ = conic_from_cov2d(cov2d)     # pure fn of cov2d: bitwise
+    ca = conic[..., 0]                     # identical to the caller's
+    cb = conic[..., 1]
+    cc = conic[..., 2]
+    detc = ca * cc - cb * cb
+    # near-degenerate conic (fp-negative det): ellipse direction nearly
+    # unbounded — the relative floor yields huge, image-clipped extents
+    # (conservative: bin everywhere it might reach)
+    detc = jnp.maximum(detc, 1e-7 * (jnp.abs(ca * cc) + cb * cb) + 1e-38)
+    hx = jnp.sqrt(jnp.maximum(D * cc / detc, 0.0))
+    hy = jnp.sqrt(jnp.maximum(D * ca / detc, 0.0))
     # pixel bounds are computed in GLOBAL image coordinates and shifted
     # by the (integer) slab offset afterwards, so tile membership is
     # bit-identical between a full render and its tile-sharded slabs

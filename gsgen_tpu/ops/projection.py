@@ -152,20 +152,30 @@ def frustum_cull_mask(
     return sphere_in_frustum(mean, radii, normals, pts)
 
 
-def conic_from_cov2d(cov2d: jax.Array, eps: float = 1e-12) -> Tuple[jax.Array, jax.Array]:
+def conic_from_cov2d(cov2d: jax.Array, eps: float = 1e-6) -> Tuple[jax.Array, jax.Array]:
     """Invert 2x2 covariances -> conic coefficients (a, b, c) and det.
 
     The Gaussian weight is ``exp(-0.5 (a dx^2 + 2 b dx dy + c dy^2))``.
     Matches kernel_gaussian_2d (gs/src/include/kernels.h:195-224), where
     radial = (dx*(c3*dx - c2*dy) + dy*(-c1*dx + c0*dy)) / det, i.e.
     a = c3/det (=cov_yy/det), b = -c1/det, c = c0/det.
+
+    The degeneracy guard is RELATIVE (``eps`` times the magnitude of the
+    det's constituent products) and always positive.  An absolute floor
+    is wrong at this scale: a half-pixel Gaussian at 512^2 has
+    cov ~ 1e-6 and det ~ 1e-12-1e-13 *legitimately* — an absolute 1e-12
+    clamp silently inflated its rendered footprint ~2x (the reference
+    avoids the issue by computing this in float64, kernels.h:195-224;
+    fp32 is fine because the conic magnitudes themselves are
+    well-scaled, only the guard must be scale-invariant).
     """
     c0 = cov2d[..., 0, 0]
     c1 = cov2d[..., 0, 1]
     c2 = cov2d[..., 1, 0]
     c3 = cov2d[..., 1, 1]
     det = c0 * c3 - c1 * c2
-    det_safe = jnp.where(jnp.abs(det) < eps, eps, det)
+    floor = eps * (jnp.abs(c0 * c3) + jnp.abs(c1 * c2)) + 1e-38
+    det_safe = jnp.maximum(det, floor)
     a = c3 / det_safe
     b = -0.5 * (c1 + c2) / det_safe
     c = c0 / det_safe

@@ -106,3 +106,59 @@ def test_frustum_planes_contain_lookat_points():
         [0.0, 9.0, 0.0],     # beyond the far plane (z = 11 > 10)
     ])
     assert in_frustum(qs, normals, pts).tolist() == [True, True, False, False]
+
+
+def test_conic_exact_for_subpixel_gaussians():
+    """det ~1e-13 is legitimate for sub-pixel Gaussians at 512^2; an
+    absolute clamp used to inflate their rendered footprint ~2x.  The
+    relative guard must leave them bit-faithful to the true inverse."""
+    import numpy as np
+    cov = jnp.array([[[1.1141742e-06, -1.2631280e-07],
+                      [-1.2631280e-07, 4.4472958e-07]]])
+    conic, det = P.conic_from_cov2d(cov)
+    inv = np.linalg.inv(np.asarray(cov[0], np.float64))
+    want = np.array([inv[0, 0], inv[0, 1], inv[1, 1]])
+    np.testing.assert_allclose(np.asarray(conic[0]), want, rtol=1e-4)
+
+
+def test_aabb_covers_rendered_support_subpixel():
+    """Regression: the tile AABB must bound the ellipse of the CONIC the
+    rasterizer evaluates.  A sub-pixel Gaussian near a tile boundary
+    used to lose an above-1/255 contribution at the neighboring tile."""
+    import numpy as np
+    from gsgen_tpu.ops.binning import bin_gaussians
+    from gsgen_tpu.ops.rasterize import rasterize_tiles
+    from gsgen_tpu.ops.oracle import composite_dense, pixel_grid
+
+    n, reso, tile, chunk = 64, 128, 16, 8
+    ks = jax.random.split(jax.random.PRNGKey(11), 5)
+    mean2d = jax.random.uniform(ks[0], (n, 2), minval=-0.45, maxval=0.45)
+    # extremely anisotropic sub-pixel covariances: det down to ~1e-14
+    sx = jnp.exp(jax.random.uniform(ks[1], (n,), minval=-16.0, maxval=-12.0))
+    sy = jnp.exp(jax.random.uniform(ks[2], (n,), minval=-16.0, maxval=-12.0))
+    th = jax.random.uniform(ks[3], (n,), minval=0.0, maxval=3.14)
+    ct, st = jnp.cos(th), jnp.sin(th)
+    r = jnp.stack([jnp.stack([ct, -st], -1), jnp.stack([st, ct], -1)], -2)
+    cov2d = jnp.einsum("nij,nj,nkj->nik", r, jnp.stack([sx, sy], -1), r)
+    depth = jax.random.uniform(ks[4], (n,), minval=1.0, maxval=4.0)
+    alpha = jnp.full((n,), 0.8)
+    feats = jnp.concatenate(
+        [jax.random.uniform(jax.random.PRNGKey(12), (n, 3)),
+         jnp.ones((n, 1))], -1)
+    active = jnp.ones((n,), bool)
+    f = float(reso)
+    conic, _ = P.conic_from_cov2d(cov2d)
+    bins = bin_gaussians(mean2d, cov2d, depth, active,
+                         fx=f, fy=f, cx=f / 2, cy=f / 2, w=reso, h=reso,
+                         tile_size=tile, cap=8192, chunk=chunk,
+                         tile_culling_radius=12.0, alpha=alpha)
+    img, T = rasterize_tiles(mean2d, conic, alpha, feats, bins,
+                             (-0.5, -0.5), (1.0 / f, 1.0 / f),
+                             w=reso, h=reso, tile_size=tile, chunk=chunk)
+    pix = pixel_grid((-0.5, -0.5), (1.0 / f, 1.0 / f), reso, reso)
+    want, T_want = composite_dense(mean2d, conic, alpha, feats, depth,
+                                   active, pix, 1e-4)
+    np.testing.assert_allclose(np.asarray(img).reshape(-1, 4),
+                               np.asarray(want), rtol=1e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(T).reshape(-1),
+                               np.asarray(T_want), rtol=1e-3, atol=3e-4)
