@@ -53,6 +53,12 @@ class BinnedTiles(NamedTuple):
         backward aggregate duplicate-row gradients with a sort+segment
         scan instead of a scatter-add: after sorting rows by Gaussian
         id, Gaussian g's rows end at ``gid_cum[g] - 1``.
+    chunk_tile: [cap_padded // chunk] int32 — owning tile of each
+        chunk-sized slot of the padded layout (segments are back-to-back
+        and chunk-aligned, so each slot has exactly one owner; slots
+        past the used region map to the last tile and are rejected by
+        the per-tile chunk-count bound).  Drives the backward kernel's
+        flat chunk grid.
     """
 
     padded_gid: jax.Array
@@ -61,6 +67,7 @@ class BinnedTiles(NamedTuple):
     ends: jax.Array
     total: jax.Array
     gid_cum: jax.Array
+    chunk_tile: jax.Array
 
 
 def tile_aabbs(
@@ -247,6 +254,14 @@ def bin_gaussians(
     row_valid = jnp.arange(cap_padded, dtype=jnp.int32) < end_fill
 
     gid_cum = jnp.minimum(cum, jnp.minimum(jnp.int32(cap), total))
+    # owning tile per chunk slot: scatter each tile's id at its first
+    # slot (.max resolves empty-tile collisions to the last/largest id,
+    # whose chunk-count bound then rejects the slot) + cummax fill
+    n_slots = cap_padded // chunk
+    chunk_tile = jax.lax.cummax(
+        jnp.zeros((n_slots,), jnp.int32).at[
+            jnp.clip(aligned_start // chunk, 0, n_slots - 1)].max(
+                jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
     return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
                        starts=starts, ends=ends, total=total,
-                       gid_cum=gid_cum)
+                       gid_cum=gid_cum, chunk_tile=chunk_tile)

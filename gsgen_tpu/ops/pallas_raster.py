@@ -9,13 +9,17 @@ the kernel replaces the CUDA design like so:
 * one CUDA block per tile -> one (sequentially pipelined) grid step per
   tile; 256 threads -> [P=tile², K=chunk] VPU vectors,
 * 48 KB shared-memory streaming (``carry``, vol_render.h:441-467) ->
-  double-buffered async DMA of chunk slices from HBM,
+  forward: double-buffered async DMA of chunk slices from HBM;
+  backward: a flat grid over chunk SLOTS with auto-pipelined blocks
+  (one slot per grid step; tile carries persist in VMEM scratch and
+  reset when the prefetched slot->tile map changes — ~2x cheaper per
+  chunk than a manual DMA loop, see BASELINE.md ablations),
 * per-pixel sequential compositing -> exclusive cumprod over the chunk
   axis (Hillis-Steele via lane rolls; Mosaic has no native cumprod),
 * weighted feature accumulation -> one MXU matmul per chunk,
 * backward atomicAdd into global grads (vol_render.h:28-46) -> each
-  tile owns whole chunk-aligned rows of the duplicate-gradient buffer
-  (see binning.BinnedTiles), written by exclusive DMA — deterministic,
+  chunk slot owns its block of the duplicate-gradient buffer,
+  deterministic by construction,
 * the ``(final − accum)/(1−αG)`` suffix trick of the CUDA backward
   (vol_render.h:383-399) -> an in-chunk inclusive cumsum of
   ``w·(g·feat)`` plus a running prefix, no checkpoint storage.
@@ -27,10 +31,10 @@ Data layouts (chosen so no array needs lane padding in HBM):
 
 Forward early-exits a tile when every pixel's transmittance is below
 ``T_thresh`` and records the number of chunks it processed in the spare
-output row; the backward pass walks ONLY those chunks (the fwd and bwd
-transmittance recurrences are identical, so chunks the forward skipped
-have exactly-zero gradients) and the unwalked rows of the gradient
-buffer are zeroed by a scatter+cumsum mask outside the kernel.
+output row; the backward pass computes ONLY those chunks (the fwd and
+bwd transmittance recurrences are identical, so chunks the forward
+skipped have exactly-zero gradients — their slots are zero-filled
+in-kernel).
 """
 
 from __future__ import annotations
@@ -200,129 +204,112 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
         (1, P), i_fin.astype(jnp.float32))
 
 
-def _bwd_kernel(starts_ref, nchunks_ref, nckeff_ref, geom_ref, dup_ref,
-                out_ref, g_ref, grad_ref, buf, dbuf, sem, wsem,
+def _bwd_kernel(chunk_tile_ref, starts_ref, nchunks_ref, nckeff_ref,
+                geom_ref, dup_ref, out_ref, g_ref, grad_ref, T_sc, S_sc,
                 *, tile_size, n_tiles_w, K, F, T_thresh):
-    t = pl.program_id(0)
-    start = starts_ref[t]
+    """One grid step per CHUNK SLOT (not per tile).
+
+    The per-tile design (grid over tiles, manual double-buffered DMA
+    loop over chunks) cost ~2.8 us per chunk-iteration nearly
+    independent of the body — semaphore waits, VMEM buffer juggling and
+    loop mechanics, not arithmetic (see BASELINE.md ablations).  A flat
+    grid over chunk slots lets the Pallas pipeline prefetch the dup
+    block and drain the grad block automatically (~1.4 us/slot measured
+    with this full body).  Tile state (running transmittance column and
+    the suffix-trick dot accumulator) lives in VMEM scratch that
+    persists across grid steps and resets when ``chunk_tile`` changes —
+    slots of one tile are consecutive by construction.
+    """
+    i = pl.program_id(0)
+    t = chunk_tile_ref[i]
+    local = i - starts_ref[t] // K
     # walk only the chunks the forward actually processed: the fwd and
     # bwd transmittance recurrences are identical, so chunks the forward
-    # early-exited past have exactly-zero gradients (their rows are
-    # masked to zero by the caller, not written here)
+    # early-exited past have exactly-zero gradients
     nck = jnp.minimum(nchunks_ref[t], nckeff_ref[t])
     P = tile_size * tile_size
-    pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
 
-    g_all = g_ref[0]                                 # [CH_OUT, P]
-    o_all = out_ref[0]
-    gfe = g_all[0:F, :]                              # [F, P] cotangent of feats
-    # dot(g, final_feats) and g_T * T_final, per pixel, as [P, 1] columns
-    dotfinal_row = jnp.sum(gfe * o_all[0:F, :], axis=0, keepdims=True)
-    gT_Tf_row = g_all[F:F + 1, :] * o_all[F:F + 1, :]
-    two = jnp.concatenate([dotfinal_row, gT_Tf_row], axis=0)  # [2, P]
-    twoT = jnp.transpose(two)                        # [P, 2]
-    dotfinal = twoT[:, 0:1]
-    gT_Tf = twoT[:, 1:2]
+    is_new = jnp.logical_or(
+        i == 0, chunk_tile_ref[jnp.maximum(i - 1, 0)] != t)
 
-    def rdma(slot, i):
-        idx = pl.multiple_of(start + i * K, K)
-        return pltpu.make_async_copy(dup_ref.at[:, pl.ds(idx, K)],
-                                     buf.at[slot], sem.at[slot])
-
-    def wdma(slot, i):
-        idx = pl.multiple_of(start + i * K, K)
-        return pltpu.make_async_copy(dbuf.at[slot],
-                                     grad_ref.at[:, pl.ds(idx, K)],
-                                     wsem.at[slot])
-
-    @pl.when(nck > 0)
+    @pl.when(is_new)
     def _():
-        rdma(0, 0).start()
+        T_sc[...] = jnp.ones((P, 1), jnp.float32)
+        S_sc[...] = jnp.zeros((P, 1), jnp.float32)
 
-    def body(i, c):
-        T_col, Sdot = c
-        slot = jax.lax.rem(i, 2)
+    live = (local >= 0) & (local < nck)
 
-        @pl.when(i + 1 < nck)
-        def _():
-            rdma(jax.lax.rem(i + 1, 2), i + 1).start()
-
-        rdma(slot, i).wait()
-        # previous write from this slot must have landed before reuse
-        @pl.when(i >= 2)
-        def _():
-            wdma(slot, i - 2).wait()
-
-        def heavy(c):
-            T_col, Sdot = c
-            d = buf[slot]
-            (dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed,
-             w) = _chunk_weights(d, pixx, pixy, T_col, T_thresh)
-            fe = d[6:6 + F, :]
-            al = d[5:6, :]
-
-            # gof[p,k] = sum_f g[f,p] fe[f,k]
-            gof = jax.lax.dot_general(
-                gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)      # [P, K]
-            e = w * gof
-            accum_dot = Sdot + _incl_cumsum_lanes(e)     # dot(g, accum thru k)
-            suffix = dotfinal - accum_dot
-            # d loss / d aG (vol_render.h:383-399 trick, fully vectorized)
-            om_safe = jnp.maximum(om, 1e-6)
-            daG = jnp.where(processed & (aG > 0.0),
-                            gof * T_run - (suffix + gT_Tf) / om_safe,
-                            0.0)
-
-            # chain rule to per-duplicate grads (reductions over pixels)
-            dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
-                * (al < ALPHA_CLAMP)                      # [1, K]
-            dG = daG * a_cl
-            dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
-            ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
-            dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
-                          axis=0, keepdims=True)
-            dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
-                          axis=0, keepdims=True)
-            dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
-            dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
-            dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
-            dfe = jax.lax.dot_general(
-                gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [F, K]
-
-            dbuf[slot, 0:1, :] = dmx
-            dbuf[slot, 1:2, :] = dmy
-            dbuf[slot, 2:3, :] = dca
-            dbuf[slot, 3:4, :] = dcb
-            dbuf[slot, 4:5, :] = dcc
-            dbuf[slot, 5:6, :] = dalpha
-            dbuf[slot, 6:6 + F, :] = dfe
-            if 6 + F < D_ROWS:
-                dbuf[slot, 6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K),
-                                                  jnp.float32)
-            T_col = _update_T(T_col, om, cp_excl, processed)
-            Sdot = Sdot + jnp.sum(e, axis=1, keepdims=True)
-            return T_col, Sdot
-
-        # no saturation branch needed: every chunk in [0, nck) was
-        # processed by the forward, so some pixel is always live here
-        T_col, Sdot = heavy((T_col, Sdot))
-        wdma(slot, i).start()
-        return T_col, Sdot
-
-    T0 = jnp.ones((P, 1), jnp.float32)
-    S0 = jnp.zeros((P, 1), jnp.float32)
-    jax.lax.fori_loop(0, nck, body, (T0, S0))
-
-    # drain outstanding writes
-    @pl.when(nck >= 2)
+    @pl.when(live)
     def _():
-        wdma(jax.lax.rem(nck - 2, 2), nck - 2).wait()
+        pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
+        g_all = g_ref[0]                             # [CH_OUT, P]
+        o_all = out_ref[0]
+        gfe = g_all[0:F, :]                          # [F, P] feats cotangent
+        # dot(g, final_feats) and g_T * T_final, per pixel, [P, 1] columns
+        dotfinal_row = jnp.sum(gfe * o_all[0:F, :], axis=0, keepdims=True)
+        gT_Tf_row = g_all[F:F + 1, :] * o_all[F:F + 1, :]
+        two = jnp.concatenate([dotfinal_row, gT_Tf_row], axis=0)  # [2, P]
+        twoT = jnp.transpose(two)                    # [P, 2]
+        dotfinal = twoT[:, 0:1]
+        gT_Tf = twoT[:, 1:2]
 
-    @pl.when(nck >= 1)
+        T_col = T_sc[...]
+        Sdot = S_sc[...]
+        d = dup_ref[...]                             # [D_ROWS, K] block
+        (dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed,
+         w) = _chunk_weights(d, pixx, pixy, T_col, T_thresh)
+        fe = d[6:6 + F, :]
+        al = d[5:6, :]
+
+        # gof[p,k] = sum_f g[f,p] fe[f,k]
+        gof = jax.lax.dot_general(
+            gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [P, K]
+        e = w * gof
+        accum_dot = Sdot + _incl_cumsum_lanes(e)     # dot(g, accum thru k)
+        suffix = dotfinal - accum_dot
+        # d loss / d aG (vol_render.h:383-399 trick, fully vectorized)
+        om_safe = jnp.maximum(om, 1e-6)
+        daG = jnp.where(processed & (aG > 0.0),
+                        gof * T_run - (suffix + gT_Tf) / om_safe,
+                        0.0)
+
+        # chain rule to per-duplicate grads (reductions over pixels)
+        dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
+            * (al < ALPHA_CLAMP)                      # [1, K]
+        dG = daG * a_cl
+        dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
+        ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+        dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
+                      axis=0, keepdims=True)
+        dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
+                      axis=0, keepdims=True)
+        dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
+        dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
+        dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
+        dfe = jax.lax.dot_general(
+            gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [F, K]
+
+        grad_ref[0:1, :] = dmx
+        grad_ref[1:2, :] = dmy
+        grad_ref[2:3, :] = dca
+        grad_ref[3:4, :] = dcb
+        grad_ref[4:5, :] = dcc
+        grad_ref[5:6, :] = dalpha
+        grad_ref[6:6 + F, :] = dfe
+        if 6 + F < D_ROWS:
+            grad_ref[6 + F:, :] = jnp.zeros((D_ROWS - 6 - F, K),
+                                            jnp.float32)
+        T_sc[...] = _update_T(T_col, om, cp_excl, processed)
+        S_sc[...] = Sdot + jnp.sum(e, axis=1, keepdims=True)
+
+    # dead slots (padding past a tile's segment, or past the forward's
+    # early-exit chunk count): gradients are exactly zero — written here
+    # instead of a caller-side mask pass
+    @pl.when(jnp.logical_not(live))
     def _():
-        wdma(jax.lax.rem(nck - 1, 2), nck - 1).wait()
+        grad_ref[...] = jnp.zeros((D_ROWS, K), jnp.float32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -351,59 +338,44 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
         interpret=interpret,
     )
 
+    n_slots = cap // K
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tile_size=tile_size,
                           n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(n_tiles,),
+            num_scalar_prefetch=4,      # chunk_tile, starts, nchunks, nckeff
+            grid=(n_slots,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
-                pl.BlockSpec(memory_space=pl.ANY),       # dup
-                pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),   # fwd out
-                pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),   # cotangent
+                pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),  # dup
+                pl.BlockSpec((1, CH_OUT, P),
+                             lambda i, ct, *_: (ct[i], 0, 0)),   # fwd out
+                pl.BlockSpec((1, CH_OUT, P),
+                             lambda i, ct, *_: (ct[i], 0, 0)),   # cotangent
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),  # grads [16, cap]
+            out_specs=pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),
             scratch_shapes=[
-                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
-                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
-                pltpu.SemaphoreType.DMA((2,)),
-                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.VMEM((P, 1), jnp.float32),    # running transmittance
+                pltpu.VMEM((P, 1), jnp.float32),    # suffix-dot accumulator
             ]),
         out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
         interpret=interpret,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )
 
     @jax.custom_vjp
-    def core(dup, starts, nchunks, geom):
+    def core(dup, chunk_tile, starts, nchunks, geom):
         return fwd_call(starts, nchunks, geom, dup)
 
-    def core_fwd(dup, starts, nchunks, geom):
+    def core_fwd(dup, chunk_tile, starts, nchunks, geom):
         out = fwd_call(starts, nchunks, geom, dup)
-        return out, (dup, starts, nchunks, geom, out)
+        return out, (dup, chunk_tile, starts, nchunks, geom, out)
 
     def core_bwd(res, g):
-        dup, starts, nchunks, geom, out = res
+        dup, chunk_tile, starts, nchunks, geom, out = res
         nckeff = out[:, CH_OUT - 1, 0].astype(jnp.int32)
-        dgrad = bwd_call(starts, nchunks, nckeff, geom, dup, out, g)
-        # Rows the bounded walk never wrote hold uninitialized memory and
-        # must not reach the scatter-add back onto Gaussians: per-tile
-        # dead zones [start + nckeff*K, start + nchunks*K) plus
-        # everything beyond the last segment.  Scatter+cumsum, not
-        # searchsorted (the slow primitive on TPU).
-        dead_start = starts + nckeff * K
-        seg_end = starts + nchunks * K
-        delta = (jnp.zeros((cap + 1,), jnp.int32)
-                 .at[dead_start].add(1, mode="drop")
-                 .at[seg_end].add(-1, mode="drop"))
-        in_dead = jnp.cumsum(delta[:cap]) > 0
-        row = jnp.arange(cap, dtype=jnp.int32)
-        keep = (~in_dead) & (row < seg_end[-1])
-        dgrad = jnp.where(keep[None, :], dgrad, 0.0)
-        return dgrad, None, None, None
+        dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
+                         dup, out, g)
+        return dgrad, None, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -522,7 +494,8 @@ def rasterize_tiles_pallas(
 
     core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
                       float(T_thresh), interpret)
-    out = core(dup, bins.starts.astype(jnp.int32),
+    out = core(dup, bins.chunk_tile.astype(jnp.int32),
+               bins.starts.astype(jnp.int32),
                nchunks.astype(jnp.int32), geom)        # [n_tiles, 8, P]
 
     img = out[:, :F, :].reshape(n_tiles_h, n_tiles_w, F,
