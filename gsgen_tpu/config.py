@@ -99,6 +99,9 @@ def _build_backbone(g_d: Dict, vsd: Optional[Dict] = None):
     kind = g_d.pop("backbone", "mock")
     preset = g_d.pop("backbone_preset", "tiny")
     weights = g_d.pop("weights_path", None)
+    # bf16 halves the frozen score network's time on TPU (the reference
+    # pipeline runs fp16, stable_diffusion.py:76); fp32 stays default
+    dtype = g_d.pop("backbone_dtype", None)
     if kind == "mock":
         return None
     if kind == "sd_unet":
@@ -116,8 +119,10 @@ def _build_backbone(g_d: Dict, vsd: Optional[Dict] = None):
         use_vae = preset != "if_pixel"
         if weights:
             return load_diffusers_weights(weights, cfg, latent_size=latent,
-                                          use_vae=use_vae)
-        return SDUNetBackbone(cfg, latent_size=latent, use_vae=use_vae)
+                                          use_vae=use_vae,
+                                          compute_dtype=dtype)
+        return SDUNetBackbone(cfg, latent_size=latent, use_vae=use_vae,
+                              compute_dtype=dtype)
     raise NotImplementedError(f"backbone {kind}")
 
 
@@ -152,7 +157,13 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     g_type = g_d.pop("type", "mock")
     prompt_processor = None
     if g_type == "mock":
-        guidance = MockGuidance(**g_d)
+        # a CLI override guidance.type=mock on a diffusion config leaves
+        # sds-only keys behind; ignore anything MockGuidance doesn't take
+        import inspect
+        accepted = set(
+            inspect.signature(MockGuidance.__init__).parameters) - {"self"}
+        guidance = MockGuidance(
+            **{k: v for k, v in g_d.items() if k in accepted})
     elif g_type in ("sds", "deep_floyd", "if"):
         prompt_processor = _build_prompt_processor(prompt_d)
         if g_type in ("deep_floyd", "if"):

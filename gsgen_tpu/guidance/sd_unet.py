@@ -50,10 +50,19 @@ class SDUNetBackbone:
 
     def __init__(self, cfg: UNetConfig = TINY, latent_size: int = 64,
                  key: Optional[jax.Array] = None, use_vae: bool = True,
-                 vae_cfg: Optional[VAEConfig] = None):
+                 vae_cfg: Optional[VAEConfig] = None,
+                 compute_dtype: Optional[str] = None):
         key = key if key is not None else jax.random.PRNGKey(0)
         k1, k2 = jax.random.split(key)
         self.cfg = cfg
+        # compute_dtype="bfloat16" runs UNet/VAE forwards in bf16 (the
+        # reference pipeline runs fp16, stable_diffusion.py:76): params
+        # stay fp32 masters (LoRA/optimizer fidelity) and are cast at
+        # use — XLA folds the converts into the matmul/conv operand
+        # loads.  SDS never differentiates through the UNet, so reduced
+        # precision only touches the frozen score evaluation.
+        self.compute_dtype = (jnp.dtype(compute_dtype)
+                              if compute_dtype else None)
         self.latent_size = latent_size
         self.latent_channels = cfg.in_channels
         self.unet = UNet2DConditionModel(cfg)
@@ -101,8 +110,16 @@ class SDUNetBackbone:
                                 + (self.latent_channels - 3,))
                 x = jnp.concatenate([x, pad], -1)
             return x * 2.0 - 1.0
-        return self.vae.apply(params["vae"], imgs * 2.0 - 1.0, key,
-                              method=AutoencoderKL.encode)
+        dt = self.compute_dtype
+        p = params["vae"]
+        x = imgs * 2.0 - 1.0
+        if dt is not None:
+            cast = lambda v: (v.astype(dt)
+                              if jnp.issubdtype(v.dtype, jnp.floating) else v)
+            p = jax.tree_util.tree_map(cast, p)
+            x = x.astype(dt)
+        z = self.vae.apply(p, x, key, method=AutoencoderKL.encode)
+        return z.astype(jnp.float32) if dt is not None else z
 
     def decode_latents(self, params, latents):
         """Scaled latents -> [B,H,W,3] in [0,1] (decode_latents,
@@ -115,16 +132,28 @@ class SDUNetBackbone:
 
     def predict_noise(self, params, latents_noisy, t, text,
                       class_labels=None, lora_scale: float = 1.0):
-        return self.unet.apply(params["unet"], latents_noisy, t, text,
-                               class_labels=class_labels,
-                               lora_scale=lora_scale)
+        dt = self.compute_dtype
+        p = params["unet"]
+        if dt is not None:
+            cast = lambda x: (x.astype(dt)
+                              if jnp.issubdtype(x.dtype, jnp.floating) else x)
+            p = jax.tree_util.tree_map(cast, p)
+            latents_noisy = cast(latents_noisy)
+            text = cast(text)
+            if class_labels is not None:
+                class_labels = cast(class_labels)
+        eps = self.unet.apply(p, latents_noisy, t, text,
+                              class_labels=class_labels,
+                              lora_scale=lora_scale)
+        return eps.astype(jnp.float32) if dt is not None else eps
 
 
 def load_diffusers_weights(path: str, cfg: UNetConfig = SD21,
                            latent_size: int = 64,
                            vae_cfg: Optional[VAEConfig] = None,
                            use_vae: bool = True,
-                           key: Optional[jax.Array] = None
+                           key: Optional[jax.Array] = None,
+                           compute_dtype: Optional[str] = None,
                            ) -> SDUNetBackbone:
     """Build a backbone and fill it from a local diffusers checkpoint.
 
@@ -140,7 +169,8 @@ def load_diffusers_weights(path: str, cfg: UNetConfig = SD21,
     unet_dir = os.path.join(path, "unet")
     state = load_safetensors(unet_dir if os.path.isdir(unet_dir) else path)
     bb = SDUNetBackbone(cfg, latent_size=latent_size, key=key,
-                        use_vae=use_vae, vae_cfg=vae_cfg)
+                        use_vae=use_vae, vae_cfg=vae_cfg,
+                        compute_dtype=compute_dtype)
     bb.params = dict(bb.params)
     bb.params["unet"] = torch_state_to_flax(state, bb.params["unet"])
     if use_vae:

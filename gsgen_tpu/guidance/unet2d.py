@@ -590,6 +590,11 @@ class UNet2DConditionModel(nn.Module):
             timesteps, c.block_out_channels[0],
             flip_sin_to_cos=c.flip_sin_to_cos,
             downscale_freq_shift=c.freq_shift)
+        # the sinusoidal embedding is fp32 by construction; running the
+        # net in bf16 (params + sample cast by the caller) requires the
+        # time path to match, or flax's dtype promotion drags every
+        # resnet trunk back to fp32 through `h + time_emb_proj(temb)`
+        temb = temb.astype(sample.dtype)
         temb = self.time_embedding(temb)
         if class_labels is not None:
             if c.class_embed_type == "timestep":
@@ -597,9 +602,10 @@ class UNet2DConditionModel(nn.Module):
                     class_labels, c.block_out_channels[0],
                     flip_sin_to_cos=c.flip_sin_to_cos,
                     downscale_freq_shift=c.freq_shift)
-                temb = temb + self.class_embedding(cl)
+                temb = temb + self.class_embedding(cl.astype(sample.dtype))
             elif c.class_embed_proj_dim is not None:
-                temb = temb + self.class_embedding(class_labels)
+                temb = temb + self.class_embedding(
+                    class_labels.astype(sample.dtype))
         ctx = encoder_hidden_states
         if c.encoder_hid_dim is not None:
             ctx = self.encoder_hid_proj(ctx)
