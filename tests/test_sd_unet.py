@@ -70,3 +70,40 @@ def test_weights_loader_raises_clearly():
     from gsgen_tpu.guidance.sd_unet import load_diffusers_weights
     with pytest.raises(FileNotFoundError, match="no network egress"):
         load_diffusers_weights("/nonexistent/unet")
+
+
+def test_bf16_compute_dtype_matches_fp32(backbone):
+    """compute_dtype='bfloat16' runs the frozen score eval in reduced
+    precision (the reference pipeline is fp16, stable_diffusion.py:76)
+    with fp32 parameter masters; outputs stay fp32 and track the fp32
+    path closely.  Guards the dtype plumbing: one stray fp32 input
+    (e.g. the sinusoidal timestep embedding) silently upcasts the whole
+    trunk and the speedup disappears."""
+    from gsgen_tpu.guidance.sd_unet import SDUNetBackbone, TINY
+    bb16 = SDUNetBackbone(TINY, latent_size=8, use_vae=True,
+                          compute_dtype="bfloat16")
+    bb16.params = backbone.params
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4)) * 0.5
+    t = jnp.array([100.0, 700.0])
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 7, 1024)) * 0.1
+    e32 = backbone.predict_noise(backbone.params, x, t, ctx)
+    e16 = bb16.predict_noise(backbone.params, x, t, ctx)
+    assert e16.dtype == jnp.float32
+    rel = float(jnp.linalg.norm(e16 - e32) / jnp.linalg.norm(e32))
+    assert rel < 0.05, rel
+
+    imgs = jax.random.uniform(jax.random.PRNGKey(2),
+                              (1, backbone.image_size, backbone.image_size,
+                               3))
+    z32 = backbone.encode_images(backbone.params, imgs)
+    z16 = bb16.encode_images(backbone.params, imgs)
+    assert z16.dtype == jnp.float32
+    relz = float(jnp.linalg.norm(z16 - z32) / jnp.linalg.norm(z32))
+    assert relz < 0.05, relz
+
+    # gradients flow through the bf16 VAE encode (SDS backprops the
+    # image path)
+    g = jax.grad(lambda im: jnp.sum(
+        bb16.encode_images(backbone.params, im) ** 2))(imgs)
+    assert bool(jnp.isfinite(g).all()) and float(jnp.abs(g).max()) > 0.0
