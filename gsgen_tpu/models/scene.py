@@ -249,12 +249,24 @@ def render_view(
     if mean2d_tap is not None:
         mean2d = mean2d + mean2d_tap
 
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+    # Mosaic requires 128-divisible lane blocks: compiled Pallas kernels
+    # cannot run with a smaller streaming chunk (BASELINE.md: "chunk 128
+    # is the Mosaic lane-alignment floor").  Clamp transparently — the
+    # segments are identical, only alignment padding grows — so small-
+    # chunk configs (tests, CPU smoke) run unchanged on the chip.
+    chunk = cfg.chunk
+    if backend == "pallas" and not cfg.pallas_interpret:
+        chunk = max(chunk, 128)
+
     conic, _ = conic_from_cov2d(proj.cov2d)
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(proj.cov2d),
         jax.lax.stop_gradient(proj.depth), vis,
         fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
-        chunk=cfg.chunk, tile_culling_radius=cfg.tile_culling_radius,
+        chunk=chunk, tile_culling_radius=cfg.tile_culling_radius,
         pixel_offset_y=pixel_offset_y,
         alpha=jax.lax.stop_gradient(alpha))
 
@@ -272,9 +284,6 @@ def render_view(
     oy = jnp.asarray(pixel_offset_y, jnp.float32)
     topleft = (-cx / fx, (oy - cy) / fy)
     psz = (1.0 / fx, 1.0 / fy)
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "pallas" if jax.default_backend() not in ("cpu",) else "xla"
     kw = {}
     if backend == "pallas":
         raster = rasterize_tiles_pallas
@@ -284,7 +293,7 @@ def render_view(
         raster = rasterize_tiles
     img, T = raster(
         mean2d, conic, alpha, feats, bins, topleft, psz,
-        w=intr.w, h=intr.h, tile_size=cfg.tile_size, chunk=cfg.chunk,
+        w=intr.w, h=intr.h, tile_size=cfg.tile_size, chunk=chunk,
         T_thresh=cfg.T_thresh, **kw)
 
     if bg.ndim == 1:

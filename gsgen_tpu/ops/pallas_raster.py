@@ -336,6 +336,9 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
             ]),
         out_shape=jax.ShapeDtypeStruct((n_tiles, CH_OUT, P), jnp.float32),
         interpret=interpret,
+        # tiles are independent: let megacore parts split the grid
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
     )
 
     n_slots = cap // K
@@ -360,6 +363,10 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
             ]),
         out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
         interpret=interpret,
+        # the tile carries (T_sc/S_sc) persist across grid steps: the
+        # slot grid MUST run sequentially, never megacore-split
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
     )
 
     @jax.custom_vjp
