@@ -51,9 +51,11 @@ from .binning import BinnedTiles
 from .oracle import ALPHA_CLAMP, DEFAULT_T_THRESH, MIN_RENDER_ALPHA
 
 D_ROWS = 16          # dup/grad row count (multiple of 8 sublanes)
-CH_OUT = 8           # output channel rows (F feats + T + exit count)
-MAX_F = 6            # feats capacity: F feats + T + early-exit chunk
-                     # count must fit in CH_OUT rows
+CH_OUT = 8           # default output channel rows (F feats + T + exit
+                     # count); widens to 16 when F > 6 (PBR normal
+                     # channels etc.) — see _make_core
+MAX_F = D_ROWS - 6   # feats capacity: 6 geometry rows + F feats must
+                     # fit the dup table
 
 
 def _excl_cumprod_lanes(x: jax.Array) -> jax.Array:
@@ -142,7 +144,8 @@ def _pix_coords(t, geom_ref, tile_size, n_tiles_w):
 
 
 def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
-                buf, sem, *, tile_size, n_tiles_w, K, F, T_thresh):
+                buf, sem, *, tile_size, n_tiles_w, K, F, ch_out,
+                T_thresh):
     t = pl.program_id(0)
     start = starts_ref[t]
     nck = nchunks_ref[t]
@@ -195,18 +198,18 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
 
     out_ref[0, 0:F, :] = acc
     out_ref[0, F:F + 1, :] = jnp.transpose(T_col)        # [1, P]
-    if F + 2 < CH_OUT:
-        out_ref[0, F + 1:CH_OUT - 1, :] = jnp.zeros(
-            (CH_OUT - F - 2, P), jnp.float32)
+    if F + 2 < ch_out:
+        out_ref[0, F + 1:ch_out - 1, :] = jnp.zeros(
+            (ch_out - F - 2, P), jnp.float32)
     # spare row: chunks actually processed (early exit included) — the
     # backward pass bounds its walk with this (exact int in fp32: < 2^24)
-    out_ref[0, CH_OUT - 1:CH_OUT, :] = jnp.full(
+    out_ref[0, ch_out - 1:ch_out, :] = jnp.full(
         (1, P), i_fin.astype(jnp.float32))
 
 
 def _bwd_kernel(chunk_tile_ref, starts_ref, nchunks_ref, nckeff_ref,
                 geom_ref, dup_ref, out_ref, g_ref, grad_ref, T_sc, S_sc,
-                *, tile_size, n_tiles_w, K, F, T_thresh):
+                *, tile_size, n_tiles_w, K, F, ch_out, T_thresh):
     """One grid step per CHUNK SLOT (not per tile).
 
     The per-tile design (grid over tiles, manual double-buffered DMA
@@ -317,10 +320,15 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
                cap: int, T_thresh: float, interpret: bool):
     """Build the custom_vjp'd kernel pair for one static configuration."""
     P = tile_size * tile_size
+    # output rows: F feats + T + early-exit count, padded to a sublane
+    # multiple; the standard 5-channel render keeps the narrow 8-row
+    # buffer, PBR/normal configs (F up to 10) use 16
+    ch_out = 8 if F + 2 <= 8 else 16
 
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tile_size=tile_size,
-                          n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
+                          n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
+                          T_thresh=T_thresh),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
@@ -328,13 +336,13 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # geom [4]
                 pl.BlockSpec(memory_space=pl.ANY),       # dup [16, cap]
             ],
-            out_specs=pl.BlockSpec((1, CH_OUT, P), lambda t, *_: (t, 0, 0),
+            out_specs=pl.BlockSpec((1, ch_out, P), lambda t, *_: (t, 0, 0),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[
                 pltpu.VMEM((2, D_ROWS, K), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ]),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, CH_OUT, P), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, ch_out, P), jnp.float32),
         interpret=interpret,
         # tiles are independent: let megacore parts split the grid
         compiler_params=pltpu.CompilerParams(
@@ -344,16 +352,17 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
     n_slots = cap // K
     bwd_call = pl.pallas_call(
         functools.partial(_bwd_kernel, tile_size=tile_size,
-                          n_tiles_w=n_tiles_w, K=K, F=F, T_thresh=T_thresh),
+                          n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
+                          T_thresh=T_thresh),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,      # chunk_tile, starts, nchunks, nckeff
             grid=(n_slots,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
                 pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),  # dup
-                pl.BlockSpec((1, CH_OUT, P),
+                pl.BlockSpec((1, ch_out, P),
                              lambda i, ct, *_: (ct[i], 0, 0)),   # fwd out
-                pl.BlockSpec((1, CH_OUT, P),
+                pl.BlockSpec((1, ch_out, P),
                              lambda i, ct, *_: (ct[i], 0, 0)),   # cotangent
             ],
             out_specs=pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),
@@ -379,7 +388,7 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
 
     def core_bwd(res, g):
         dup, chunk_tile, starts, nchunks, geom, out = res
-        nckeff = out[:, CH_OUT - 1, 0].astype(jnp.int32)
+        nckeff = out[:, ch_out - 1, 0].astype(jnp.int32)
         dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
                          dup, out, g)
         return dgrad, None, None, None, None

@@ -44,7 +44,8 @@ def test_pbr_scene_fields():
     st = _sphere_scene(PBR_CFG)
     assert st.params.specular is not None and st.params.normal is not None
     spec = jax.nn.sigmoid(st.params.specular)
-    np.testing.assert_allclose(np.asarray(spec), 0.05, atol=1e-6)
+    # TPU transcendentals: sigmoid(inv_sigmoid(0.05)) is ~1e-6 off on chip
+    np.testing.assert_allclose(np.asarray(spec), 0.05, atol=1e-5)
     n = scene_normals(st.params, st.active, PBR_CFG)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(n, axis=-1)), 1.0,
                                atol=1e-5)
