@@ -98,6 +98,54 @@ class LoRALinear(nn.Module):
         return self.up(self.down(x))
 
 
+_FUSED_ATTENTION = "auto"  # "auto" | "on" | "off"
+
+
+def set_fused_attention(mode: str) -> None:
+    """Select the attention core: Pallas flash attention vs einsum.
+
+    "auto" (default) uses the fused TPU flash-attention kernel for
+    self-attention when the backend is TPU and L >= 2048 — measured
+    crossover on v5p-class chips: at SD 2.1's 4096-token level the
+    fused kernel (512-token blocks) runs 1.6x faster than the
+    materialized einsum, while at 1024/256 tokens the two are within
+    noise and the default 128-blocks are SLOWER (block-size sweep in
+    BASELINE.md).  "on" forces it for every eligible shape; "off"
+    always uses the einsum path (the parity oracle).  The switch
+    changes no parameters — both paths consume the same to_q/k/v/out
+    projections — so checkpoints and the diffusers state_dict
+    bijection are unaffected.
+    """
+    global _FUSED_ATTENTION
+    if mode not in ("auto", "on", "off"):
+        raise ValueError(f"fused attention mode {mode!r}")
+    _FUSED_ATTENTION = mode
+
+
+def _flash_self_attention(q, k, v, scale):
+    """Fused O(L) -memory attention via the Pallas TPU kernel.
+
+    Inputs [B, L, H, D] (the einsum path's layout); the kernel wants
+    [B, H, L, D].  Softmax accumulates in f32 inside the kernel — the
+    same numerics as the einsum path's upcast_attention softmax.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, flash_attention)
+    q = q.transpose(0, 2, 1, 3)
+    k = k.transpose(0, 2, 1, 3)
+    v = v.transpose(0, 2, 1, 3)
+    # 512-token blocks: fastest measured at L=4096 (2.02 ms vs 5.74 at
+    # the library default 128 and 3.28 einsum); clamp for shorter L
+    b = min(512, q.shape[2])
+    bs = BlockSizes(block_q=b, block_k_major=b, block_k=b, block_b=1,
+                    block_q_major_dkv=b, block_k_major_dkv=b,
+                    block_k_dkv=b, block_q_dkv=b,
+                    block_k_major_dq=b, block_k_dq=b, block_q_dq=b)
+    out = flash_attention(q, k, v, sm_scale=scale, causal=False,
+                          block_sizes=bs)
+    return out.transpose(0, 2, 1, 3)
+
+
 class Attention(nn.Module):
     """diffusers Attention (to_q/k/v no-bias, to_out.0 with bias) with
     optional LoRA adapters on each projection."""
@@ -134,11 +182,23 @@ class Attention(nn.Module):
         k = k.reshape(B, S, self.heads, self.head_dim)
         v = v.reshape(B, S, self.heads, self.head_dim)
         scale = 1.0 / math.sqrt(self.head_dim)
-        attn = jnp.einsum("blhd,bshd->bhls", q, k,
-                          preferred_element_type=jnp.float32) * scale
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
-        attn = attn.astype(v.dtype)
-        out = jnp.einsum("bhls,bshd->blhd", attn, v)
+        # fused path: self-attention at flash-blockable lengths (the
+        # quadratic term; cross-attention's S=77 matrix is linear in L
+        # and stays on the einsum path)
+        eligible = (L == S and L % 128 == 0
+                    and q.dtype == k.dtype == v.dtype)
+        use_flash = eligible and (
+            _FUSED_ATTENTION == "on"
+            or (_FUSED_ATTENTION == "auto" and L >= 2048
+                and jax.default_backend() == "tpu"))
+        if use_flash:
+            out = _flash_self_attention(q, k, v, scale)
+        else:
+            attn = jnp.einsum("blhd,bshd->bhls", q, k,
+                              preferred_element_type=jnp.float32) * scale
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1)
+            attn = attn.astype(v.dtype)
+            out = jnp.einsum("bhls,bshd->blhd", attn, v)
         out = out.reshape(B, L, self.heads * self.head_dim)
         y = self.to_out_0(out)
         if self.lora_rank:
