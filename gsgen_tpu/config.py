@@ -102,6 +102,12 @@ def _build_backbone(g_d: Dict, vsd: Optional[Dict] = None):
     # bf16 halves the frozen score network's time on TPU (the reference
     # pipeline runs fp16, stable_diffusion.py:76); fp32 stays default
     dtype = g_d.pop("backbone_dtype", None)
+    # attention core: "auto" (fused flash kernel at the 4096-token
+    # level on TPU) | "on" | "off" — see unet2d.set_fused_attention
+    fused_attn = g_d.pop("fused_attention", None)
+    if fused_attn is not None:
+        from .guidance.unet2d import set_fused_attention
+        set_fused_attention(str(fused_attn))
     if kind == "mock":
         return None
     if kind == "sd_unet":
