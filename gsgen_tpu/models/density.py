@@ -120,10 +120,13 @@ def densify_clone_split(state: SceneState, opt: AdamState,
                         key: jax.Array, legacy: bool):
     """Legacy (:822-947) or official (:551-630) clone+split, jitted.
 
-    legacy: grads = accum/(cnt+1e-5); split if ANY svec > thresh; split
-    makes 2 copies with svec/(shrink*2); clone keeps original.
-    official: grads = accum/cnt (nan->0); split if MAX svec > thresh,
-    n_splits copies with svec/(n_splits*shrink), original removed.
+    legacy: grads = accum/(cnt+1e-5), `>` threshold; split if ANY svec >
+    thresh; 2 copies with svec/(shrink*2).  official: grads = accum/cnt
+    (nan->0), `>=` threshold; split if MAX svec > thresh, n_splits copies
+    with svec/(n_splits*shrink).  BOTH remove the split source: legacy
+    rebuilds from ``~split_mask`` rows (gs/gaussian_splatting.py:879-885),
+    official prunes the sources after append (:601-610) — net growth per
+    split is +1 legacy / +(n_splits-1) official.
     """
     p = state.params
     svec = act(rcfg.svec_act)(p.svec)
@@ -132,16 +135,14 @@ def densify_clone_split(state: SceneState, opt: AdamState,
         big = jnp.any(svec > cfg.split_thresh, axis=-1)
         n_copies = 2
         shrink = cfg.split_shrink * 2.0
-        remove_split_src = False
+        hot = state.active & (grads > cfg.mean2d_thresh)
     else:
         grads = jnp.where(state.grad_cnt > 0,
                           state.grad_accum / state.grad_cnt, 0.0)
         big = jnp.max(svec, axis=-1) > cfg.split_thresh
         n_copies = cfg.n_splits
         shrink = cfg.n_splits * cfg.split_shrink
-        remove_split_src = True
-
-    hot = state.active & (grads >= cfg.mean2d_thresh)
+        hot = state.active & (grads >= cfg.mean2d_thresh)
     clone_mask = hot & ~big
     split_mask = hot & big
 
@@ -159,8 +160,9 @@ def densify_clone_split(state: SceneState, opt: AdamState,
         targets, n_i = _free_slot_targets(active, split_mask)
         params, active = _scatter_new(params, active, cand, targets)
         n_split = n_split + n_i
-    if remove_split_src:
-        active = active & ~split_mask
+    # both paths remove the split source (see docstring); freed source
+    # slots become available for the NEXT densify event, not this one
+    active = active & ~split_mask
 
     old_active = state.active
     state = state._replace(params=params, active=active)

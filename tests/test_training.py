@@ -84,12 +84,51 @@ def test_densify_clone_split_capacity():
     opt = adam_init(state.params)
     cfg = DensifyConfig(mean2d_thresh=0.01, split_thresh=0.01, use_legacy=True)
     s2, opt2, info = densify(state, opt, cfg, RCFG, jax.random.PRNGKey(1))
-    # legacy: svec 0.05 > thresh 0.01 -> all split in 2 (source kept)
-    assert int(info["num_split"]) > 0
-    assert int(num_active(s2)) > 32
+    # legacy: svec 0.05 > thresh 0.01 -> all split in 2, source REMOVED
+    # (gs/gaussian_splatting.py:879-885 copies only ~split_mask rows),
+    # so net growth per split is +1: 32 -> 64
+    assert int(info["num_split"]) == 64        # 2 copies x 32 sources
+    assert int(info["num_clone"]) == 0
+    assert int(num_active(s2)) == 64
     assert int(num_active(s2)) <= 128          # capacity respected
     # stats reset
     assert float(jnp.sum(s2.grad_accum)) == 0.0
+
+
+def test_densify_growth_parity():
+    """Net growth == num_clone + num_split (legacy, 2 copies - source) and
+    num_clone + (n_splits-1)*n_split_sources (official) — the reference's
+    count dynamics (gs/gaussian_splatting.py:841-845 legacy,
+    :601-613 official)."""
+    def mk(svec_val):
+        state = initialize(jax.random.PRNGKey(0),
+                           InitConfig(num_points=32, capacity=512,
+                                      svec_val=svec_val), RCFG)
+        return state._replace(grad_accum=jnp.ones(512) * 10.0,
+                              grad_cnt=jnp.ones(512))
+
+    # mixed scene: 16 big (split) + 16 small (clone)
+    state = mk(0.05)
+    raw_small = state.params.svec.at[:16].set(
+        state.params.svec[0] * 0.0 - 6.0)   # exp(-6) ~ 0.0025 < thresh
+    state = state._replace(params=state.params._replace(svec=raw_small))
+    opt = adam_init(state.params)
+
+    # legacy: net = num_clone + num_split_sources (= num_split/2)
+    cfg = DensifyConfig(mean2d_thresh=0.01, split_thresh=0.01,
+                        use_legacy=True)
+    s2, _, info = densify(state, opt, cfg, RCFG, jax.random.PRNGKey(1))
+    n_clone, n_split = int(info["num_clone"]), int(info["num_split"])
+    assert n_clone == 16 and n_split == 32
+    assert int(num_active(s2)) == 32 + n_clone + n_split - 16
+
+    # official n_splits=2: same arithmetic via the official branch
+    cfg = DensifyConfig(mean2d_thresh=0.01, split_thresh=0.01,
+                        use_legacy=False, type="official", n_splits=2)
+    s3, _, info = densify(state, opt, cfg, RCFG, jax.random.PRNGKey(1))
+    n_clone, n_split = int(info["num_clone"]), int(info["num_split"])
+    assert n_clone == 16 and n_split == 32
+    assert int(num_active(s3)) == 32 + n_clone + (n_split - 16)
 
 
 def test_prune_by_alpha():
