@@ -214,6 +214,31 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     if init_cfg.type == "point_cloud":
         from .priors import load_point_cloud
         init_points, init_colors = load_point_cloud(cfg["init_asset"])
+    elif init_cfg.type in ("point_e", "shap_e"):
+        # generative 3D prior at trainer init (reference
+        # utils/initialize.py:110-228): asset cache or the in-process
+        # two-stage point-e diffusion sampler
+        init_d = dict(cfg.get("init", {}))
+        prompt_text = cfg.get("prompt", {}).get("prompt", "")
+        if init_cfg.type == "point_e":
+            from .priors import point_e_init_arrays
+            init_points, init_colors = point_e_init_arrays(
+                prompt_text, num_points=init_cfg.num_points,
+                mean_std=init_cfg.mean_std,
+                z_scale=init_d.get("z_scale", 1.0),
+                random_exceed=init_d.get("random_exceed", False),
+                seed=init_d.get("seed", 0),
+                base_weights=init_d.get("point_e_base"),
+                upsample_weights=init_d.get("point_e_upsample"),
+                clip_model_dir=init_d.get("clip_model_dir"),
+                karras_steps=tuple(init_d.get("karras_steps", (64, 64))))
+        else:
+            from .priors import shap_e_generate
+            init_points, init_colors = shap_e_generate(
+                prompt_text, init_cfg.num_points)
+        if init_d.get("random_color", False):
+            init_colors = None       # fall through to random colors
+        init_cfg = dataclasses.replace(init_cfg, type="point_cloud")
 
     # image-to-3D: image.path (+ optional depth/mask .npy) switches to a
     # single-view sampler, image init with frozen front points, and the

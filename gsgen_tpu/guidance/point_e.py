@@ -124,12 +124,14 @@ class ResidualAttentionBlock(nn.Module):
 
 
 class PointEBackbone(nn.Module):
-    cfg: PointEConfig
+    width: int
+    heads: int
+    layers: int
 
     def setup(self):
         self.resblocks = [
-            ResidualAttentionBlock(self.cfg.width, self.cfg.heads)
-            for _ in range(self.cfg.layers)]
+            ResidualAttentionBlock(self.width, self.heads)
+            for _ in range(self.layers)]
 
     def __call__(self, x):
         for blk in self.resblocks:
@@ -147,7 +149,7 @@ class PointDiffusionTransformer(nn.Module):
         self.time_embed = PointEMLP(c.width)
         self.clip_embed = nn.Dense(c.width)
         self.ln_pre = nn.LayerNorm()
-        self.backbone = PointEBackbone(c)
+        self.backbone = PointEBackbone(c.width, c.heads, c.layers)
         self.ln_post = nn.LayerNorm()
         self.input_proj = nn.Dense(c.width)
         self.output_proj = nn.Dense(
@@ -213,6 +215,10 @@ class PointEModel:
         self.params = torch_state_to_flax(state, self.params)
         return self
 
+    def apply(self, params, x, t, cond=None, **_):
+        """Sampler-facing eval: [B, C, N] x, [B] t, [B, F] cond."""
+        return self.module.apply(params, x, t, cond)
+
     def predict_noise(self, params, x, t, cond):
         """x [B, C, N]; t [B]; cond [B, F] CLIP text-vec (or [B, L, D]
         sequence, mean-pooled+projected is NOT applied — sequences are
@@ -224,3 +230,120 @@ class PointEModel:
             if cond.shape[-1] != self.cfg.clip_feature_dim:
                 cond = None
         return self.module.apply(params, x, t, cond)
+
+
+# ---------------------------------------------------------------------------
+# Upsample stage (1024 -> 3072 points)
+# ---------------------------------------------------------------------------
+
+# point-e channel normalization (point_e/diffusion/configs.py:17-18):
+# model space = scale * raw + bias; xyz doubled, colors [0,255] -> [-1,1]
+POINT_E_CHANNEL_SCALES = (2.0, 2.0, 2.0,
+                          0.007843137255, 0.007843137255, 0.007843137255)
+POINT_E_CHANNEL_BIASES = (0.0, 0.0, 0.0, -1.0, -1.0, -1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class PointEUpsampleConfig:
+    """point_e MODEL_CONFIGS['upsample'] (configs.py:89-103):
+    CLIPImageGridUpsamplePointDiffusionTransformer."""
+
+    input_channels: int = 6
+    output_channels: int = 12
+    n_ctx: int = 3072
+    cond_ctx: int = 1024
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    grid_feature_dim: int = 1024    # ViT-L/14 grid (pretrained_clip.py:59-63)
+    grid_size: int = 16
+
+
+UPSAMPLE_CFG = PointEUpsampleConfig()
+TINY_UPSAMPLE = PointEUpsampleConfig(n_ctx=64, cond_ctx=32, width=32,
+                                     layers=2, heads=2, grid_feature_dim=16,
+                                     grid_size=2)
+
+
+class PointEUpsampleTransformer(nn.Module):
+    """CLIPImageGridUpsamplePointDiffusionTransformer
+    (point_e/models/transformer.py:412-494): the base transformer plus a
+    conditioning-point projection and a CLIP image-grid token path.  In
+    the text->3D pipeline the grid embeddings are ZERO (unconditional
+    upsampling — sampler key_filter '' drops all kwargs,
+    transformer.py:478-483), but the layers must exist for the
+    checkpoint key bijection.  Token order: [t, clip grid (gs^2),
+    low_res (cond_ctx), x (n_ctx)] (transformer.py:493)."""
+
+    cfg: PointEUpsampleConfig
+
+    def setup(self):
+        c = self.cfg
+        self.time_embed = PointEMLP(c.width)
+        # torch nn.Sequential(LayerNorm, Linear) -> keys clip_embed.{0,1}
+        self.clip_embed_0 = nn.LayerNorm()
+        self.clip_embed_1 = nn.Dense(c.width)
+        self.cond_point_proj = nn.Dense(c.width)
+        self.ln_pre = nn.LayerNorm()
+        self.backbone = PointEBackbone(c.width, c.heads, c.layers)
+        self.ln_post = nn.LayerNorm()
+        self.input_proj = nn.Dense(c.width)
+        self.output_proj = nn.Dense(
+            c.output_channels, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros)
+
+    def __call__(self, x, t, low_res, embeddings=None):
+        """x [B, C, n_ctx]; t [B]; low_res [B, C, cond_ctx] in UNSCALED
+        (raw) space — rescaled in-model (_embed_low_res,
+        transformer.py:404-409); embeddings [B, grid_feature_dim, gs^2]
+        CLIP grid features or None (-> zeros)."""
+        c = self.cfg
+        B = x.shape[0]
+        t_embed = self.time_embed(point_e_timestep_embedding(t, c.width))
+
+        scales = jnp.asarray(POINT_E_CHANNEL_SCALES)[: low_res.shape[1]]
+        biases = jnp.asarray(POINT_E_CHANNEL_BIASES)[: low_res.shape[1]]
+        lr = low_res * scales[None, :, None] + biases[None, :, None]
+        lr_tok = self.cond_point_proj(jnp.swapaxes(lr, 1, 2))
+
+        if embeddings is None:
+            embeddings = jnp.zeros(
+                (B, c.grid_feature_dim, c.grid_size ** 2), x.dtype)
+        clip_tok = self.clip_embed_1(
+            self.clip_embed_0(jnp.swapaxes(embeddings, 1, 2)))
+
+        h = self.input_proj(jnp.swapaxes(x, 1, 2))
+        n_extra = 1 + clip_tok.shape[1] + lr_tok.shape[1]
+        h = jnp.concatenate([t_embed[:, None], clip_tok, lr_tok, h], axis=1)
+        h = self.ln_pre(h)
+        h = self.backbone(h)
+        h = self.ln_post(h)
+        h = self.output_proj(h[:, n_extra:])
+        return jnp.swapaxes(h, 1, 2)
+
+
+class PointEUpsamplerModel:
+    """Upsample-stage wrapper mirroring :class:`PointEModel`."""
+
+    def __init__(self, cfg: PointEUpsampleConfig = TINY_UPSAMPLE,
+                 key: Optional[jax.Array] = None):
+        self.cfg = cfg
+        self.module = PointEUpsampleTransformer(cfg)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x = jnp.zeros((1, cfg.input_channels, cfg.n_ctx))
+        lr = jnp.zeros((1, cfg.input_channels, cfg.cond_ctx))
+        self.params = self.module.init(key, x, jnp.zeros((1,)), lr)
+
+    def load_weights(self, path_or_state):
+        from .convert import load_safetensors, torch_state_to_flax
+        state = (load_safetensors(path_or_state)
+                 if isinstance(path_or_state, str) else path_or_state)
+        state = {k: v for k, v in state.items()
+                 if not (k.startswith("clip.") or k == "channel_scales"
+                         or k == "channel_biases")}
+        self.params = torch_state_to_flax(state, self.params)
+        return self
+
+    def apply(self, params, x, t, low_res=None, embeddings=None, cond=None):
+        del cond
+        return self.module.apply(params, x, t, low_res, embeddings)

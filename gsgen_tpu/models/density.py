@@ -153,6 +153,8 @@ def densify_clone_split(state: SceneState, opt: AdamState,
     # split candidates: n_copies per gaussian
     new_svec_raw = inv_act(rcfg.svec_act)(svec / shrink)
     n_split = jnp.zeros((), jnp.int32)
+    placed = split_mask
+    M = active.shape[0]
     for i in range(n_copies):
         key, k = jax.random.split(key)
         off = _split_offsets(p.qvec, svec, k)
@@ -160,9 +162,13 @@ def densify_clone_split(state: SceneState, opt: AdamState,
         targets, n_i = _free_slot_targets(active, split_mask)
         params, active = _scatter_new(params, active, cand, targets)
         n_split = n_split + n_i
-    # both paths remove the split source (see docstring); freed source
-    # slots become available for the NEXT densify event, not this one
-    active = active & ~split_mask
+        placed = placed & (targets < M)
+    # both paths remove the split source (see docstring) — but only when
+    # ALL its shrunk copies fit in capacity (the reference reallocates and
+    # can't run out; with fixed capacity, dropping the source after
+    # failing to place its copies would silently delete the Gaussian).
+    # Freed slots become available at the NEXT densify event.
+    active = active & ~placed
 
     old_active = state.active
     state = state._replace(params=params, active=active)
@@ -225,6 +231,8 @@ def densify_by_scale(state: SceneState, opt: AdamState, cfg: DensifyConfig,
     new_svec_raw = inv_act(rcfg.svec_act)(svec / shrink)
     params, active = p, state.active
     n = jnp.zeros((), jnp.int32)
+    placed = mask
+    M = active.shape[0]
     for i in range(cfg.n_splits):
         key, k = jax.random.split(key)
         off = _split_offsets(p.qvec, svec, k)
@@ -232,7 +240,9 @@ def densify_by_scale(state: SceneState, opt: AdamState, cfg: DensifyConfig,
         targets, n_i = _free_slot_targets(active, mask)
         params, active = _scatter_new(params, active, cand, targets)
         n = n + n_i
-    active = active & ~mask
+        placed = placed & (targets < M)
+    # remove sources only when all copies were placed (capacity guard)
+    active = active & ~placed
     old_active = state.active
     state = state._replace(params=params, active=active)
     opt = mask_state_rows(opt, old_active & active)

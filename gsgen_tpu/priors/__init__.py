@@ -78,24 +78,113 @@ def _asset_path(kind: str, prompt: str) -> Path:
     return Path(ASSET_DIR) / f"{kind}_{key}.npz"
 
 
-def point_e_generate(prompt: str, num_points: int = 4096
+def point_e_generate(prompt: str, num_points: int = 4096,
+                     base_weights: Optional[str] = None,
+                     upsample_weights: Optional[str] = None,
+                     clip_model_dir: Optional[str] = None,
+                     karras_steps: Tuple[int, int] = (64, 64),
+                     seed: int = 0, cache: bool = True,
+                     base_cfg=None, up_cfg=None,
                      ) -> Tuple[np.ndarray, np.ndarray]:
-    """Text -> colored point cloud via a precomputed Point-E asset.
+    """Text -> colored point cloud: asset cache, else in-process sampler.
 
-    Looks up ``$GSGEN_ASSET_DIR/point_e_<md5(prompt)[:16]>.npz`` (keys
-    xyz, rgb).  Generating in-process requires the point-e checkpoints
-    (reference downloads them, utils/point_e_helper.py:12-40) which this
-    environment cannot fetch.
+    Resolution order:
+
+    1. ``$GSGEN_ASSET_DIR/point_e_<md5(prompt)[:16]>.npz`` (keys xyz,
+       rgb) — a precomputed cloud wins (init is one-shot data).
+    2. In-process two-stage diffusion
+       (:mod:`gsgen_tpu.priors.point_e_sampler`, the reference's
+       ``PointCloudSampler`` semantics, utils/point_e_helper.py:12-40)
+       when checkpoint paths are given — explicitly or via env
+       ``GSGEN_POINT_E_BASE`` / ``GSGEN_POINT_E_UPSAMPLE`` /
+       ``GSGEN_CLIP_DIR``.  The result is cached to the asset path.
+    3. Otherwise raise with the asset-path convention.
     """
     p = _asset_path("point_e", prompt)
     if p.exists():
         z = np.load(p)
         return z["xyz"][:num_points], z["rgb"][:num_points]
+
+    base_weights = base_weights or os.environ.get("GSGEN_POINT_E_BASE")
+    upsample_weights = (upsample_weights
+                        or os.environ.get("GSGEN_POINT_E_UPSAMPLE"))
+    clip_model_dir = clip_model_dir or os.environ.get("GSGEN_CLIP_DIR")
+    if base_weights is not None:
+        xyz, rgb = _point_e_sample_in_process(
+            prompt, base_weights, upsample_weights, clip_model_dir,
+            karras_steps, seed, base_cfg, up_cfg)
+        if cache:
+            p.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(p, xyz=xyz, rgb=rgb)
+        return xyz[:num_points], rgb[:num_points]
+
     raise FileNotFoundError(
-        f"No Point-E asset for prompt {prompt!r} at {p}. Precompute the "
-        "cloud (any machine with the point-e checkpoints) and save "
-        "np.savez(path, xyz=..., rgb=...); or use init.type="
-        "base/unisphere/semisphere/box.")
+        f"No Point-E asset for prompt {prompt!r} at {p} and no "
+        "checkpoints configured. Either precompute the cloud and save "
+        "np.savez(path, xyz=..., rgb=...), or point GSGEN_POINT_E_BASE/"
+        "GSGEN_POINT_E_UPSAMPLE (+GSGEN_CLIP_DIR for text conditioning) "
+        "at point-e checkpoints (init.point_e_base/init.point_e_upsample "
+        "config keys work too); or use init.type=base/unisphere/"
+        "semisphere/box.")
+
+
+def _point_e_sample_in_process(prompt, base_weights, upsample_weights,
+                               clip_model_dir, karras_steps, seed,
+                               base_cfg=None, up_cfg=None):
+    """Run the jitted two-stage sampler (reference sampler.py:96-170)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..guidance.point_e import (BASE40M_TEXTVEC, UPSAMPLE_CFG,
+                                    PointEModel, PointEUpsamplerModel)
+    from .point_e_sampler import PointESampler, PointESamplerConfig
+
+    base = PointEModel(base_cfg or BASE40M_TEXTVEC).load_weights(
+        base_weights)
+    up = None
+    if upsample_weights is not None:
+        up = PointEUpsamplerModel(up_cfg or UPSAMPLE_CFG).load_weights(
+            upsample_weights)
+    textvec = None
+    if clip_model_dir:
+        from ..prompt.encoders import build_clip_textvec_fn
+        textvec = jnp.asarray(
+            build_clip_textvec_fn(clip_model_dir)([prompt])[0])
+    sampler = PointESampler(base, up, PointESamplerConfig(
+        karras_steps=karras_steps))
+    return sampler.sample_to_cloud(jax.random.PRNGKey(seed), textvec)
+
+
+def point_e_init_arrays(prompt: str, num_points: int = 4096,
+                        mean_std: float = 0.6, z_scale: float = 1.0,
+                        random_exceed: bool = False, seed: int = 0,
+                        **generate_kw) -> Tuple[np.ndarray, np.ndarray]:
+    """Generate + normalize a Point-E cloud for scene init, matching
+    reference utils/initialize.py:110-167 (point_e_intialize): pad to
+    ``num_points`` (random normal extras or resampling), center, scale
+    to unit max-norm then ``mean_std``, optional z squeeze.  The facex
+    rotation is applied downstream by ``init.facex``."""
+    xyz, rgb = point_e_generate(prompt, num_points=4096, **generate_kw)
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    rng = np.random.default_rng(seed)
+    if num_points > xyz.shape[0]:
+        if random_exceed:
+            idx = rng.integers(0, xyz.shape[0], num_points)
+            xyz, rgb = xyz[idx], rgb[idx]
+        else:
+            extra = num_points - xyz.shape[0]
+            xyz = np.concatenate(
+                [xyz, rng.normal(size=(extra, 3)).astype(np.float32)
+                 * mean_std], 0)
+            rgb = np.concatenate(
+                [rgb, rng.random((extra, 3), dtype=np.float32)], 0)
+    else:
+        xyz, rgb = xyz[:num_points], rgb[:num_points]
+    xyz = xyz - xyz.mean(axis=0, keepdims=True)
+    xyz = xyz / (np.linalg.norm(xyz, axis=-1).max() + 1e-5) * mean_std
+    xyz[..., 2] *= z_scale
+    return xyz, rgb
 
 
 def shap_e_generate(prompt: str, num_points: int = 4096

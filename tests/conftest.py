@@ -31,3 +31,45 @@ _cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+# ---------------------------------------------------------------------------
+# Test tiers: `pytest -m "not slow"` is the tight verify loop (<3 min on
+# CPU); the slow tier holds torch-oracle comparisons and at-scale /
+# compile-heavy cases.  Marking is centralized here so test files stay
+# clean; a test counts as slow if its module OR its name is listed.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_MODULES = {
+    "test_scale_parity",     # 100K/512^2 oracle comparisons
+    "test_vsd",              # LoRA UNet grad compiles
+    "test_dpt",              # transformers torch oracle
+    "test_sd_unet",          # SD-shape UNet compiles
+    "test_convert",          # UNet round-trip at preset scale
+    "test_text_encoders",    # CLIP/T5 torch oracles
+    "test_debias_lpips",     # BERT/LPIPS torch oracles
+    "test_upsampler",        # IF-II-style diffusion upsampler
+    "test_sit3d",            # image-to-3D training loops
+}
+_SLOW_TESTS = {
+    "test_pbr_render_and_grads",
+    "test_pbr_through_trainer",
+    "test_pbr_densify_carries_fields",
+    "test_pressure_scene_gradients",
+    "test_one_gaussian_center_peak",
+    "test_grid_scene_coverage",
+    "test_trainer_end_to_end_loss_decreases",
+    "test_render_view_channels",
+    "test_aux_guidance_with_real_point_e",
+    "test_clip_image_encoder_in_make_it_3d",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        name = item.name.split("[")[0]
+        if mod in _SLOW_MODULES or name in _SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
