@@ -90,6 +90,17 @@ class RenderConfig:
     backend: str = "auto"       # auto | pallas (TPU kernels) | xla (pure scan)
     pallas_interpret: bool = False   # run Pallas kernels in interpret
                                      # mode (CPU-mesh dryruns/tests)
+    pad_frac: float = 0.75      # alignment-padding budget as a fraction
+                                # of the worst case n_tiles*chunk; average
+                                # demand is 0.5 — 0.75 trims the pack
+                                # gather and backward grid ~8%% with 1.5x
+                                # headroom (overflow drops far duplicates,
+                                # monitored via bins.padded_total)
+    mxu_scans: bool = True      # backward scans as MXU matmuls (grad rel
+                                # err ~2e-3 from the TPU's 1e-4-class
+                                # transcendentals; see pallas_raster)
+    fast_fwd_cumprod: bool = False   # forward MXU cumprod: ~30% faster
+                                     # fwd kernel, ~4e-3 image error
     sh_degree: int = 0          # 0 = per-Gaussian RGB; >0 = SH bands
                                 # (SHRenderer parity, gs/sh_renderer.py:38)
     # PBR (reference gs/gaussian_splatting.py:74-75,159-204,1428-1452)
@@ -262,13 +273,16 @@ def render_view(
         chunk = max(chunk, 128)
 
     conic, _ = conic_from_cov2d(proj.cov2d)
+    n_tiles_pad = (-(-intr.w // cfg.tile_size)) * (-(-intr.h // cfg.tile_size))
+    pad_budget = int(n_tiles_pad * chunk * cfg.pad_frac
+                     + chunk - 1) // chunk * chunk
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(proj.cov2d),
         jax.lax.stop_gradient(proj.depth), vis,
         fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
         chunk=chunk, tile_culling_radius=cfg.tile_culling_radius,
         pixel_offset_y=pixel_offset_y,
-        alpha=jax.lax.stop_gradient(alpha))
+        alpha=jax.lax.stop_gradient(alpha), pad_budget=pad_budget)
 
     if rgb_only:
         feats = color
@@ -289,6 +303,8 @@ def render_view(
         raster = rasterize_tiles_pallas
         if cfg.pallas_interpret:
             kw["interpret"] = True
+        kw["mxu_scans"] = cfg.mxu_scans
+        kw["fast_fwd_cumprod"] = cfg.fast_fwd_cumprod
     else:
         raster = rasterize_tiles
     img, T = raster(

@@ -68,6 +68,7 @@ class BinnedTiles(NamedTuple):
     total: jax.Array
     gid_cum: jax.Array
     chunk_tile: jax.Array
+    padded_total: jax.Array
 
 
 def tile_aabbs(
@@ -160,12 +161,21 @@ def bin_gaussians(
     tile_culling_radius: float = 6.0,
     pixel_offset_y=0,         # slab offset (tile-sharded rendering)
     alpha=None,               # post-activation opacity: exact AABB shrink
+    pad_budget=None,          # static alignment-padding slots (default:
+                              # worst-case n_tiles*chunk; average use is
+                              # ~n_tiles*chunk/2 — a tighter budget cuts
+                              # the pack gather and the backward grid;
+                              # overflow drops far duplicates, monitored
+                              # via ``padded_total``)
 ) -> BinnedTiles:
     """Bin Gaussians into chunk-aligned, depth-sorted per-tile segments."""
     n_tiles_w = -(-w // tile_size)
     n_tiles_h = -(-h // tile_size)
     n_tiles = n_tiles_w * n_tiles_h
-    cap_padded = cap + n_tiles * chunk
+    if pad_budget is None:
+        pad_budget = n_tiles * chunk
+    assert pad_budget % chunk == 0
+    cap_padded = cap + pad_budget
 
     tl_x, tl_y, br_x, br_y, overlaps = tile_aabbs(
         mean2d, cov2d, fx, fy, cx, cy, w, h, tile_size, tile_culling_radius,
@@ -211,18 +221,25 @@ def bin_gaussians(
     tile_s, _, gid_s = jax.lax.sort(
         (tile_key, depth_key, gid_safe), num_keys=2, is_stable=True)
 
-    # compact per-tile segments
-    tix = jnp.arange(n_tiles, dtype=jnp.int32)
-    start_c = jnp.searchsorted(tile_s, tix, side="left").astype(jnp.int32)
-    end_c = jnp.searchsorted(tile_s, tix, side="right").astype(jnp.int32)
+    # compact per-tile segments: ONE searchsorted over n_tiles+1 edges
+    # (end_c[t] == start_c[t+1] on a sorted array — the second
+    # searchsorted the old code ran was pure waste, ~1 ms at this scale)
+    tix = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(tile_s, tix, side="left").astype(jnp.int32)
+    start_c = edges[:-1]
+    end_c = edges[1:]
     seg_len = end_c - start_c
 
-    # chunk-aligned layout
+    # chunk-aligned layout; clamp to cap_padded so kernels never walk
+    # past the buffer when the padding budget overflows (the pos scatter
+    # below drops those rows; padded_total records the demand)
     aligned_len = ((seg_len + chunk - 1) // chunk) * chunk
     aligned_start = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned_len)[:-1]])
-    starts = aligned_start
-    ends = aligned_start + seg_len
+    padded_total = (aligned_start[-1] + aligned_len[-1]
+                    if seg_len.size else jnp.int32(0))
+    starts = jnp.minimum(aligned_start, cap_padded)
+    ends = jnp.minimum(aligned_start + seg_len, cap_padded)
 
     # Destination of sorted row j: pos = j + offset(tile), with
     # offset(t) = aligned_start[t] - start_c[t], piecewise constant over
@@ -264,4 +281,5 @@ def bin_gaussians(
                 jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
     return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
                        starts=starts, ends=ends, total=total,
-                       gid_cum=gid_cum, chunk_tile=chunk_tile)
+                       gid_cum=gid_cum, chunk_tile=chunk_tile,
+                       padded_total=padded_total)

@@ -70,6 +70,42 @@ def _excl_cumprod_lanes(x: jax.Array) -> jax.Array:
     return jnp.where(col >= 1, pltpu.roll(acc, 1, axis=1), 1.0)
 
 
+def _excl_cumprod_mxu(x: jax.Array) -> jax.Array:
+    """Exclusive lane cumprod as ONE MXU matmul: exp((log x) @ U_strict).
+
+    Replaces the log2(K) Hillis-Steele roll/mul levels (the serial-VPU
+    hot spot of both kernels) with a [P,K]x[K,K] contraction.
+
+    NUMERICS (measured on-chip): the TPU's log carries ~1e-4-class
+    absolute error and ~128 of them sum in the matmul, so the chunk
+    prefix products come back with up to ~4e-3 relative error on
+    unsaturated pixels.  That is why this is used for the BACKWARD
+    only by default (grad rel err ~1.7e-3, inside every parity gate)
+    while the forward image keeps the exact lane scan; the forward can
+    opt in via ``fast_fwd_cumprod`` when a ~1-LSB(8bit) image error is
+    acceptable for a ~30%% faster forward.
+    """
+    K = x.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (r < c).astype(jnp.float32)
+    s = jax.lax.dot_general(jnp.log(x), tri,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return jnp.exp(s)
+
+
+def _incl_cumsum_mxu(x: jax.Array) -> jax.Array:
+    """Inclusive lane cumsum as one MXU matmul: x @ U (r <= c)."""
+    K = x.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (K, K), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (K, K), 1)
+    tri = (r <= c).astype(jnp.float32)
+    return jax.lax.dot_general(x, tri,
+                               dimension_numbers=(((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
 def _prod_lanes(x: jax.Array) -> jax.Array:
     """Product along axis 1 (Mosaic has no reduce_prod): exp(sum(log)).
     Inputs are (1-aG) in [0.01, 1] or exactly 1, so log is safe; the
@@ -93,8 +129,8 @@ def _incl_cumsum_lanes(x: jax.Array) -> jax.Array:
 def _update_T(T_col, om, cp_excl, processed):
     """T *= prod(om_eff).  Exact (pure multiplies) when every Gaussian in
     the chunk was processed — the common case; the exp-sum-log fallback
-    (TPU transcendentals are ~1e-5 relative) only engages for saturated
-    pixels whose T is below the early-exit threshold anyway."""
+    only engages for saturated pixels whose T is below the early-exit
+    threshold anyway."""
     prod_raw = cp_excl[:, -1:] * om[:, -1:]
     all_processed = processed[:, -1:]          # processed is monotone in k
     prod_eff = jnp.where(all_processed, prod_raw,
@@ -102,7 +138,7 @@ def _update_T(T_col, om, cp_excl, processed):
     return T_col * prod_eff
 
 
-def _chunk_weights(d, pixx, pixy, T_col, T_thresh):
+def _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans=False):
     """Shared fwd/bwd chunk math.
 
     d: [D_ROWS, K] chunk slice; pixx/pixy: [P, 1]; T_col: [P, 1].
@@ -121,7 +157,8 @@ def _chunk_weights(d, pixx, pixy, T_col, T_thresh):
     aG = a_cl * G
     aG = jnp.where(aG < MIN_RENDER_ALPHA, 0.0, aG)
     om = 1.0 - aG
-    cp_excl = _excl_cumprod_lanes(om)
+    cp_excl = (_excl_cumprod_mxu(om) if mxu_scans
+               else _excl_cumprod_lanes(om))
     T_run = T_col * cp_excl
     processed = T_run >= T_thresh
     w = jnp.where(processed, aG * T_run, 0.0)
@@ -145,7 +182,7 @@ def _pix_coords(t, geom_ref, tile_size, n_tiles_w):
 
 def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
                 buf, sem, *, tile_size, n_tiles_w, K, F, ch_out,
-                T_thresh):
+                T_thresh, fast_cumprod=False):
     t = pl.program_id(0)
     start = starts_ref[t]
     nck = nchunks_ref[t]
@@ -176,7 +213,7 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
         dma(slot, i).wait()
         d = buf[slot]                                    # [D_ROWS, K]
         (_, _, _, _, _, _, om, cp_excl, _, processed, w) = _chunk_weights(
-            d, pixx, pixy, T_col, T_thresh)
+            d, pixx, pixy, T_col, T_thresh, fast_cumprod)
         fe = d[6:6 + F, :]                               # [F, K]
         # acc[F, P] += fe @ w^T   (contraction over K on the MXU)
         acc = acc + jax.lax.dot_general(
@@ -315,9 +352,115 @@ def _bwd_kernel(chunk_tile_ref, starts_ref, nchunks_ref, nckeff_ref,
         grad_ref[...] = jnp.zeros((D_ROWS, K), jnp.float32)
 
 
+def _bwd_kernel_v2(chunk_tile_ref, starts_ref, nchunks_ref, nckeff_ref,
+                   geom_ref, dup_ref, gpack_ref, grad_ref, T_sc, S_sc, D_sc,
+                   *, tile_size, n_tiles_w, K, F, ch_out, T_thresh, blk,
+                   mxu_scans):
+    """Resident-cotangent, multi-chunk backward.
+
+    Deltas from :func:`_bwd_kernel` (kept as the large-image fallback),
+    each attacking a measured per-slot fixed cost (BASELINE.md round-3
+    profile: 5.0 ms / 1.6 us per slot):
+
+    * the whole per-tile cotangent state lives VMEM-RESIDENT as one
+      ``gpack [n_tiles, ch_out, P]`` array (rows 0..F-1 = feature
+      cotangents; row ch_out-2 = dot(g, final_feats); row ch_out-1 =
+      g_T * T_final, both XLA-precomputed) — no per-slot out/cotangent
+      block streams, no per-slot [P,2] transpose (done once per tile
+      into scratch on tile change),
+    * ``blk`` chunk slots per grid step amortize per-step pipeline
+      mechanics; sub-chunks keep the exact per-chunk recurrence,
+    * one fused [D_ROWS, K] store per sub-chunk instead of 16 row
+      stores,
+    * optional MXU scans (one [P,K]x[K,K] matmul replaces the log2(K)
+      Hillis-Steele roll levels).
+    """
+    i = pl.program_id(0)
+    P = tile_size * tile_size
+
+    for b in range(blk):
+        idx = i * blk + b
+        t = chunk_tile_ref[idx]
+        local = idx - starts_ref[t] // K
+        nck = jnp.minimum(nchunks_ref[t], nckeff_ref[t])
+
+        is_new = jnp.logical_or(
+            idx == 0, chunk_tile_ref[jnp.maximum(idx - 1, 0)] != t)
+
+        @pl.when(is_new)
+        def _():
+            T_sc[...] = jnp.ones((P, 1), jnp.float32)
+            S_sc[...] = jnp.zeros((P, 1), jnp.float32)
+            D_sc[...] = jnp.transpose(gpack_ref[t, ch_out - 2:ch_out, :])
+
+        live = (local >= 0) & (local < nck)
+
+        @pl.when(live)
+        def _():
+            pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
+            gfe = gpack_ref[t, 0:F, :]               # [F, P]
+            dotfinal = D_sc[:, 0:1]
+            gT_Tf = D_sc[:, 1:2]
+
+            T_col = T_sc[...]
+            Sdot = S_sc[...]
+            d = dup_ref[:, b * K:(b + 1) * K]        # [D_ROWS, K]
+            (dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed,
+             w) = _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans)
+            fe = d[6:6 + F, :]
+            al = d[5:6, :]
+
+            gof = jax.lax.dot_general(
+                gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [P, K]
+            e = w * gof
+            incl = _incl_cumsum_mxu(e) if mxu_scans else \
+                _incl_cumsum_lanes(e)
+            accum_dot = Sdot + incl
+            suffix = dotfinal - accum_dot
+            om_safe = jnp.maximum(om, 1e-6)
+            daG = jnp.where(processed & (aG > 0.0),
+                            gof * T_run - (suffix + gT_Tf) / om_safe,
+                            0.0)
+
+            dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
+                * (al < ALPHA_CLAMP)
+            dG = daG * a_cl
+            dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
+            ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+            dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
+                          axis=0, keepdims=True)
+            dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
+                          axis=0, keepdims=True)
+            dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
+            dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
+            dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
+            dfe = jax.lax.dot_general(
+                gfe, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [F, K]
+
+            pad = jnp.zeros((D_ROWS - 6 - F, K), jnp.float32)
+            grad_ref[:, b * K:(b + 1) * K] = jnp.concatenate(
+                [dmx, dmy, dca, dcb, dcc, dalpha, dfe, pad], axis=0)
+            T_sc[...] = _update_T(T_col, om, cp_excl, processed)
+            S_sc[...] = Sdot + jnp.sum(e, axis=1, keepdims=True)
+
+        @pl.when(jnp.logical_not(live))
+        def _():
+            grad_ref[:, b * K:(b + 1) * K] = jnp.zeros((D_ROWS, K),
+                                                       jnp.float32)
+
+
+# resident-gpack bwd needs n_tiles * ch_out * P * 4 bytes of VMEM for the
+# cotangent array; beyond this budget fall back to the streaming kernel
+_RESIDENT_BUDGET = 9 * 1024 * 1024
+
+
 @functools.lru_cache(maxsize=None)
 def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
-               cap: int, T_thresh: float, interpret: bool):
+               cap: int, T_thresh: float, interpret: bool,
+               blk: int = 1, mxu_scans: bool = True,
+               fast_fwd_cumprod: bool = False):
     """Build the custom_vjp'd kernel pair for one static configuration."""
     P = tile_size * tile_size
     # output rows: F feats + T + early-exit count, padded to a sublane
@@ -328,7 +471,7 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
     fwd_call = pl.pallas_call(
         functools.partial(_fwd_kernel, tile_size=tile_size,
                           n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
-                          T_thresh=T_thresh),
+                          T_thresh=T_thresh, fast_cumprod=fast_fwd_cumprod),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(n_tiles,),
@@ -350,33 +493,64 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
     )
 
     n_slots = cap // K
-    bwd_call = pl.pallas_call(
-        functools.partial(_bwd_kernel, tile_size=tile_size,
-                          n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
-                          T_thresh=T_thresh),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=4,      # chunk_tile, starts, nchunks, nckeff
-            grid=(n_slots,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
-                pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),  # dup
-                pl.BlockSpec((1, ch_out, P),
-                             lambda i, ct, *_: (ct[i], 0, 0)),   # fwd out
-                pl.BlockSpec((1, ch_out, P),
-                             lambda i, ct, *_: (ct[i], 0, 0)),   # cotangent
-            ],
-            out_specs=pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),
-            scratch_shapes=[
-                pltpu.VMEM((P, 1), jnp.float32),    # running transmittance
-                pltpu.VMEM((P, 1), jnp.float32),    # suffix-dot accumulator
-            ]),
-        out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
-        interpret=interpret,
-        # the tile carries (T_sc/S_sc) persist across grid steps: the
-        # slot grid MUST run sequentially, never megacore-split
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
-    )
+    resident = n_tiles * ch_out * P * 4 <= _RESIDENT_BUDGET \
+        and n_slots % blk == 0
+    if resident:
+        bwd_call = pl.pallas_call(
+            functools.partial(_bwd_kernel_v2, tile_size=tile_size,
+                              n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
+                              T_thresh=T_thresh, blk=blk,
+                              mxu_scans=mxu_scans),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,  # chunk_tile, starts, nchunks, nckeff
+                grid=(n_slots // blk,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
+                    pl.BlockSpec((D_ROWS, blk * K),
+                                 lambda i, ct, *_: (0, i)),  # dup block
+                    pl.BlockSpec(memory_space=pltpu.VMEM),   # gpack resident
+                ],
+                out_specs=pl.BlockSpec((D_ROWS, blk * K),
+                                       lambda i, ct, *_: (0, i)),
+                scratch_shapes=[
+                    pltpu.VMEM((P, 1), jnp.float32),   # running T
+                    pltpu.VMEM((P, 1), jnp.float32),   # suffix-dot acc
+                    pltpu.VMEM((P, 2), jnp.float32),   # per-tile columns
+                ]),
+            out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )
+    else:
+        bwd_call = pl.pallas_call(
+            functools.partial(_bwd_kernel, tile_size=tile_size,
+                              n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
+                              T_thresh=T_thresh),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=4,  # chunk_tile, starts, nchunks, nckeff
+                grid=(n_slots,),
+                in_specs=[
+                    pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
+                    pl.BlockSpec((D_ROWS, K), lambda i, ct, *_: (0, i)),
+                    pl.BlockSpec((1, ch_out, P),
+                                 lambda i, ct, *_: (ct[i], 0, 0)),  # fwd out
+                    pl.BlockSpec((1, ch_out, P),
+                                 lambda i, ct, *_: (ct[i], 0, 0)),  # cotan
+                ],
+                out_specs=pl.BlockSpec((D_ROWS, K),
+                                       lambda i, ct, *_: (0, i)),
+                scratch_shapes=[
+                    pltpu.VMEM((P, 1), jnp.float32),
+                    pltpu.VMEM((P, 1), jnp.float32),
+                ]),
+            out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
+            interpret=interpret,
+            # the tile carries (T_sc/S_sc) persist across grid steps: the
+            # slot grid MUST run sequentially, never megacore-split
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+        )
 
     @jax.custom_vjp
     def core(dup, chunk_tile, starts, nchunks, geom):
@@ -389,8 +563,20 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
     def core_bwd(res, g):
         dup, chunk_tile, starts, nchunks, geom, out = res
         nckeff = out[:, ch_out - 1, 0].astype(jnp.int32)
-        dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
-                         dup, out, g)
+        if resident:
+            # gpack: rows 0..F-1 = feature cotangents; row ch_out-2 =
+            # dot(g, final feats); row ch_out-1 = g_T * T_final.  The
+            # suffix trick needs ONLY these per-tile reductions — the
+            # full fwd output never enters the kernel.
+            dotfinal = jnp.sum(g[:, 0:F, :] * out[:, 0:F, :], axis=1)
+            gT_Tf = g[:, F, :] * out[:, F, :]
+            gpack = g.at[:, ch_out - 2, :].set(dotfinal)
+            gpack = gpack.at[:, ch_out - 1, :].set(gT_Tf)
+            dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
+                             dup, gpack)
+        else:
+            dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
+                             dup, out, g)
         return dgrad, None, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
@@ -477,7 +663,8 @@ def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("w", "h", "tile_size", "chunk", "T_thresh", "interpret"))
+    static_argnames=("w", "h", "tile_size", "chunk", "T_thresh", "interpret",
+                     "blk", "mxu_scans", "fast_fwd_cumprod"))
 def rasterize_tiles_pallas(
     mean2d: jax.Array,
     conic: jax.Array,
@@ -490,6 +677,9 @@ def rasterize_tiles_pallas(
     w: int, h: int, tile_size: int, chunk: int,
     T_thresh: float = DEFAULT_T_THRESH,
     interpret: bool = False,
+    blk: int = 1,
+    mxu_scans: bool = True,
+    fast_fwd_cumprod: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
     """Drop-in replacement for :func:`gsgen_tpu.ops.rasterize.rasterize_tiles`
     backed by the Pallas kernels.  Returns (img [H, W, F], T [H, W])."""
@@ -509,7 +699,9 @@ def rasterize_tiles_pallas(
                       jnp.float32(pixel_size[0]), jnp.float32(pixel_size[1])])
 
     core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
-                      float(T_thresh), interpret)
+                      float(T_thresh), interpret, blk=int(blk),
+                      mxu_scans=bool(mxu_scans),
+                      fast_fwd_cumprod=bool(fast_fwd_cumprod))
     out = core(dup, bins.chunk_tile.astype(jnp.int32),
                bins.starts.astype(jnp.int32),
                nchunks.astype(jnp.int32), geom)        # [n_tiles, 8, P]
