@@ -40,8 +40,10 @@ class BinnedTiles(NamedTuple):
 
     padded_gid: [cap_padded] int32 — Gaussian id per duplicate slot, laid
         out so tile ``t`` owns rows ``[starts[t], starts[t] + counts[t])``
-        and ``starts[t]`` is chunk-aligned.  Padding rows contain 0 (an
-        arbitrary valid id) but are outside every ``[start, end)`` range.
+        and ``starts[t]`` is chunk-aligned.  Padding rows contain the
+        SENTINEL id N (one past the last Gaussian): the Pallas packer
+        appends a zero row there, and index-clamp semantics keep other
+        consumers safe; they are also outside every ``[start, end)``.
     row_valid: [cap_padded] bool — True for rows holding a real duplicate.
     starts:   [n_tiles] int32 — chunk-aligned segment starts.
     ends:     [n_tiles] int32 — starts + per-tile duplicate count.
@@ -260,8 +262,12 @@ def bin_gaussians(
             jnp.clip(start_c, 0, cap - 1)].max(offset_t, mode="drop"))
     pos = jnp.where(in_seg, j + off, cap_padded)  # out-of-bounds -> dropped
 
-    padded_gid = jnp.zeros((cap_padded,), jnp.int32).at[pos].set(
-        gid_s, mode="drop")
+    # padding rows get the SENTINEL id N: the packer appends a zero row
+    # at index N so padding gathers all-zeros (alpha 0 -> no contribution)
+    # without a post-gather fixup pass — the fixup was measured to DOUBLE
+    # the pack gather's cost by breaking fusion (BASELINE.md round 3)
+    padded_gid = jnp.full((cap_padded,), counts.shape[0],
+                          jnp.int32).at[pos].set(gid_s, mode="drop")
     # row_valid[r] = r < end(tile-of-r): same tiny-scatter + cummax trick
     # on the padded domain (replaces a second [cap]->[cap_padded] scatter)
     end_fill = jax.lax.cummax(

@@ -584,9 +584,13 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
 
 
 def _pack_rows(table, gid, valid):
-    rows = table[gid]                                           # [cap, 16]
-    dup = rows.T
-    return dup.at[5, :].set(jnp.where(valid, dup[5, :], 0.0))
+    """table is [N + 8, 16] with rows N.. all-zero (sentinel block);
+    padding slots carry gid == N so they gather zeros — alpha 0 means
+    no contribution, no post-gather fixup (a fixup pass was measured to
+    DOUBLE the gather cost by breaking fusion).  ``valid`` is unused on
+    this path (kept for the signature)."""
+    del valid
+    return table[gid].T                                         # [16, cap]
 
 
 @jax.custom_vjp
@@ -595,7 +599,7 @@ def _pack_seg(table, gid, valid, gid_cum):
 
 
 def _pack_seg_fwd(table, gid, valid, gid_cum):
-    n = table.shape[0]
+    n = table.shape[0] - 8                   # real Gaussian count
     return _pack_rows(table, gid, valid), (gid, valid, gid_cum, n)
 
 
@@ -622,7 +626,8 @@ def _pack_seg_bwd(res, ddup):
     """
     gid, valid, gid_cum, n = res
     cap = gid.shape[0]
-    key = jnp.where(valid, gid, n).astype(jnp.int32)
+    # padding rows already carry the sentinel id n — they sort last
+    key = gid.astype(jnp.int32)
     _, perm = jax.lax.sort(
         (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True)
     g = ddup.T[perm]                                            # [cap, 16]
@@ -633,6 +638,9 @@ def _pack_seg_bwd(res, ddup):
     lo = jnp.where((prev > 0)[:, None], cs[jnp.clip(prev - 1, 0, cap - 1)],
                    0.0)
     dtable = jnp.where((gid_cum > prev)[:, None], hi - lo, 0.0)
+    # cotangent must match the [N + 8, 16] sentinel-padded table
+    dtable = jnp.concatenate(
+        [dtable, jnp.zeros((8, dtable.shape[1]), dtable.dtype)], axis=0)
     return dtable, None, None, None
 
 
@@ -656,6 +664,15 @@ def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int,
     table = jnp.concatenate(
         [mean2d, conic, alpha[:, None], feats,
          jnp.zeros((n, D_ROWS - 6 - F), jnp.float32)], axis=1)  # [N, 16]
+    # sentinel block: 8 zero rows (8, not 1 — an odd-sized table
+    # deoptimizes the TPU gather, BASELINE.md round-1 negative result)
+    table = jnp.concatenate(
+        [table, jnp.zeros((8, D_ROWS), jnp.float32)], axis=0)
+    # sentinel id for invalid slots (binning already provides it in
+    # padded_gid; the where keeps the API honest for any caller) — an
+    # INDEX-level mask, unlike the old post-gather alpha fixup which
+    # broke gather fusion and doubled its cost
+    gid = jnp.where(valid, jnp.minimum(gid, n), n)
     if gid_cum is not None:
         return _pack_seg(table, gid, valid, gid_cum)
     return _pack_rows(table, gid, valid)
