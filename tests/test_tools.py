@@ -74,3 +74,29 @@ def test_viewer_http_roundtrip():
         assert img[:2] == b"\xff\xd8"
     finally:
         v.httpd.shutdown()
+
+
+def test_rehearsal_mock(tmp_path):
+    """The real-weight rehearsal code path (config assembly -> SDS with
+    an sd_unet backbone -> jitted steps -> eval image) on the tiny
+    random-weight preset — what runs the day SD-2.1 weights land."""
+    import json
+
+    import numpy as np
+
+    from gsgen_tpu.tools.rehearsal import build_rehearsal_config, run
+
+    cfg = build_rehearsal_config("a corgi", steps=4, mock=True, reso=64,
+                                 num_points=64, capacity=128, batch_size=2)
+    # shrink heavy knobs for CPU
+    cfg["renderer"]["dup_cap"] = 4096
+    cfg["renderer"]["chunk"] = 32
+    cfg["renderer"]["densify"]["enabled"] = False
+    losses = run(cfg, tmp_path, eval_every=4, eval_reso=32,
+                 log=lambda *a: None)
+    assert len(losses) == 4 and all(np.isfinite(losses))
+    lines = [json.loads(l) for l in
+             (tmp_path / "scalars.jsonl").read_text().splitlines()]
+    assert len(lines) == 4
+    evals = list(tmp_path.glob("eval_*"))
+    assert evals, "no eval image written"
