@@ -233,9 +233,17 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
                 clip_model_dir=init_d.get("clip_model_dir"),
                 karras_steps=tuple(init_d.get("karras_steps", (64, 64))))
         else:
-            from .priors import shap_e_generate
-            init_points, init_colors = shap_e_generate(
-                prompt_text, init_cfg.num_points)
+            from .priors import shap_e_init_arrays
+            init_points, init_colors = shap_e_init_arrays(
+                prompt_text, num_points=init_cfg.num_points,
+                mean_std=init_cfg.mean_std,
+                z_scale=init_d.get("z_scale", 1.0),
+                seed=init_d.get("seed", 0),
+                decoder_weights=init_d.get("shap_e_decoder"),
+                text_model_weights=init_d.get("shap_e_text300m"),
+                latent_path=init_d.get("shap_e_latent"),
+                clip_model_dir=init_d.get("clip_model_dir"),
+                grid_size=init_d.get("grid_size", 128))
         if init_d.get("random_color", False):
             init_colors = None       # fall through to random colors
         init_cfg = dataclasses.replace(init_cfg, type="point_cloud")

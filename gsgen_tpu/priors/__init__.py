@@ -187,14 +187,101 @@ def point_e_init_arrays(prompt: str, num_points: int = 4096,
     return xyz, rgb
 
 
-def shap_e_generate(prompt: str, num_points: int = 4096
-                    ) -> Tuple[np.ndarray, np.ndarray]:
-    """Text -> mesh-surface points via a precomputed Shap-E asset
-    (reference utils/shap_e_helper.py + utils/initialize.py:170-228)."""
+def shap_e_generate(prompt: str, num_points: int = 4096,
+                    decoder_weights=None, text_model_weights=None,
+                    clip_model_dir: Optional[str] = None,
+                    latent_path: Optional[str] = None,
+                    grid_size: int = 128, karras_steps: int = 64,
+                    guidance_scale: float = 15.0, seed: int = 0,
+                    cache: bool = True) -> Tuple[np.ndarray, np.ndarray]:
+    """Text -> mesh-vertex cloud: asset cache, else in-process decode.
+
+    Resolution order (reference utils/shap_e_helper.py:17-49):
+
+    1. ``$GSGEN_ASSET_DIR/shap_e_<md5(prompt)[:16]>.npz`` asset.
+    2. A provisioned LATENT (``latent_path`` / env ``GSGEN_SHAP_E_LATENT``
+       pointing at a [1024*1024] .npy) decoded in-process via the
+       transmitter/vector-decoder checkpoint (``decoder_weights`` / env
+       ``GSGEN_SHAP_E_DECODER``): SDF grid -> marching cubes -> vertex
+       colors (:mod:`gsgen_tpu.priors.shap_e`).
+    3. Text -> latent via the text300M checkpoint (``text_model_weights``
+       / env ``GSGEN_SHAP_E_TEXT300M``; karras 64 steps, CFG 15) then
+       decode as in 2.
+    4. Otherwise raise with the asset contract.
+    """
     p = _asset_path("shap_e", prompt)
     if p.exists():
         z = np.load(p)
         return z["xyz"][:num_points], z["rgb"][:num_points]
+
+    decoder_weights = decoder_weights or os.environ.get(
+        "GSGEN_SHAP_E_DECODER")
+    text_model_weights = (text_model_weights
+                          or os.environ.get("GSGEN_SHAP_E_TEXT300M"))
+    latent_path = latent_path or os.environ.get("GSGEN_SHAP_E_LATENT")
+    clip_model_dir = clip_model_dir or os.environ.get("GSGEN_CLIP_DIR")
+
+    if decoder_weights is not None and (latent_path
+                                        or text_model_weights is not None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..guidance.convert import load_safetensors
+        from .shap_e import ShapEDecoder, sample_shap_e_latent
+
+        if latent_path:
+            latent = np.load(latent_path).reshape(-1)
+        else:
+            textvec = None
+            if clip_model_dir:
+                from ..prompt.encoders import build_clip_textvec_fn
+                textvec = jnp.asarray(
+                    build_clip_textvec_fn(clip_model_dir)([prompt])[0])
+            latent = sample_shap_e_latent(
+                text_model_weights, textvec, jax.random.PRNGKey(seed),
+                karras_steps=karras_steps, guidance_scale=guidance_scale)
+        dec_state = (load_safetensors(decoder_weights)
+                     if isinstance(decoder_weights, str)
+                     else decoder_weights)
+        dec = ShapEDecoder.from_state_dict(dec_state)
+        xyz, rgb = dec.decode_mesh(latent, grid_size=grid_size)
+        if xyz.shape[0] == 0:
+            raise RuntimeError(
+                f"shap-e decode produced an empty mesh for {prompt!r}")
+        if cache:
+            p.parent.mkdir(parents=True, exist_ok=True)
+            np.savez(p, xyz=xyz, rgb=rgb)
+        return xyz, rgb
+
     raise FileNotFoundError(
-        f"No Shap-E asset for prompt {prompt!r} at {p}; precompute and "
-        "save np.savez(path, xyz=..., rgb=...).")
+        f"No Shap-E asset for prompt {prompt!r} at {p} and no decode "
+        "inputs configured.  Precompute np.savez(path, xyz=..., rgb=...), "
+        "or set GSGEN_SHAP_E_DECODER (+ GSGEN_SHAP_E_LATENT for a "
+        "provisioned latent, or GSGEN_SHAP_E_TEXT300M + GSGEN_CLIP_DIR "
+        "for text->latent sampling); init.shap_e_decoder/init.shap_e_"
+        "text300m config keys work too.")
+
+
+def shap_e_init_arrays(prompt: str, num_points: int = 4096,
+                       mean_std: float = 0.6, z_scale: float = 1.0,
+                       seed: int = 0, **generate_kw
+                       ) -> Tuple[np.ndarray, np.ndarray]:
+    """Generate + normalize for scene init — reference shap_e_initialize
+    (utils/initialize.py:170-228): the FULL vertex set is centered and
+    scaled (num_points follows the mesh there); with a fixed static
+    capacity we uniformly subsample/pad to ``num_points`` first."""
+    xyz, rgb = shap_e_generate(prompt, num_points=1 << 30, **generate_kw)
+    xyz = np.asarray(xyz, np.float32)
+    rgb = np.asarray(rgb, np.float32)
+    rng = np.random.default_rng(seed)
+    if xyz.shape[0] > num_points:
+        idx = rng.choice(xyz.shape[0], num_points, replace=False)
+        xyz, rgb = xyz[idx], rgb[idx]
+    elif xyz.shape[0] < num_points:
+        idx = rng.integers(0, xyz.shape[0], num_points - xyz.shape[0])
+        xyz = np.concatenate([xyz, xyz[idx]], 0)
+        rgb = np.concatenate([rgb, rgb[idx]], 0)
+    xyz = xyz - xyz.mean(axis=0, keepdims=True)
+    xyz = xyz / (np.linalg.norm(xyz, axis=-1).max() + 1e-5) * mean_std
+    xyz[..., 2] *= z_scale
+    return xyz, rgb
