@@ -52,6 +52,7 @@ _SLOW_MODULES = {
     "test_debias_lpips",     # BERT/LPIPS torch oracles
     "test_upsampler",        # IF-II-style diffusion upsampler
     "test_sit3d",            # image-to-3D training loops
+    "test_unet_oracle",      # independent torch UNet implementation
 }
 _SLOW_TESTS = {
     "test_pbr_render_and_grads",
