@@ -25,26 +25,46 @@ from ..ops.camera import CameraIntrinsics
 
 PAGE = """<!DOCTYPE html><html><head><title>gsgen-tpu viewer</title><style>
 body{background:#111;color:#eee;font-family:sans-serif;margin:1em}
-img{image-rendering:auto;border:1px solid #333}
-label{margin-right:1em}</style></head><body>
-<h3>gsgen-tpu viewer</h3>
-<div><label>azimuth <input id=az type=range min=-180 max=180 value=0></label>
-<label>elevation <input id=el type=range min=-89 max=89 value=20></label>
-<label>distance <input id=di type=range min=10 max=60 value=25></label>
-<label>reso <select id=re><option>128</option><option selected>256</option>
+img{image-rendering:auto;border:1px solid #333;cursor:grab;touch-action:none}
+label{margin-right:.8em;font-size:13px}#fps{color:#7c7}</style></head><body>
+<h3>gsgen-tpu viewer <span id=fps></span></h3>
+<div><label>reso <select id=re><option>128</option><option selected>256</option>
 <option>512</option></select></label>
-<label><input id=rot type=checkbox checked>auto-rotate</label></div>
+<label>fov <input id=fov type=range min=20 max=120 value=53></label>
+<label>near <input id=near type=range min=1 max=100 value=1></label>
+<label>far <input id=far type=range min=5 max=1000 value=1000></label>
+<label><input id=rot type=checkbox checked>auto-rotate</label>
+<span style=color:#888>drag: orbit &middot; right-drag / shift-drag: pan
+&middot; wheel: zoom</span></div>
 <p><img id=v width=512 height=512></p>
 <script>
-const q=id=>document.getElementById(id);let busy=false;
-async function refresh(){if(busy)return;busy=true;
- const u=`/render?azimuth=${q('az').value}&elevation=${q('el').value}`+
-  `&distance=${q('di').value/10}&reso=${q('re').value}`;
+const q=id=>document.getElementById(id);
+let az=0,el=20,di=2.5,cx=0,cy=0,cz=0,busy=false,t0=0;
+async function refresh(){if(busy)return;busy=true;t0=performance.now();
+ const u=`/render?azimuth=${az}&elevation=${el}&distance=${di}`+
+  `&reso=${q('re').value}&fov=${q('fov').value}`+
+  `&near=${q('near').value/100}&far=${q('far').value}`+
+  `&cx=${cx}&cy=${cy}&cz=${cz}`;
  const r=await fetch(u);const b=await r.blob();
- q('v').src=URL.createObjectURL(b);busy=false}
-setInterval(()=>{if(q('rot').checked){q('az').value=
- (parseFloat(q('az').value)+383)%360-180}refresh()},200);
-for(const id of['az','el','di','re'])q(id).oninput=refresh;
+ q('v').src=URL.createObjectURL(b);
+ q('fps').textContent=(1000/(performance.now()-t0)).toFixed(1)+' fps';
+ busy=false}
+setInterval(()=>{if(q('rot').checked){az=(az+543)%360-180}refresh()},150);
+for(const id of['re','fov','near','far'])q(id).oninput=refresh;
+const img=q('v');let drag=null;
+img.onpointerdown=e=>{drag=[e.clientX,e.clientY,e.button===2||e.shiftKey];
+ img.setPointerCapture(e.pointerId);e.preventDefault()};
+img.oncontextmenu=e=>e.preventDefault();
+img.onpointermove=e=>{if(!drag)return;
+ const dx=e.clientX-drag[0],dy=e.clientY-drag[1];drag[0]=e.clientX;drag[1]=e.clientY;
+ if(drag[2]){const a=az*Math.PI/180,s=di*0.002;
+  cx+=s*(dx*Math.sin(a));cy+=s*(-dx*Math.cos(a));cz+=s*dy;}
+ else{az=((az-dx*0.4+180)%360+360)%360-180;
+  el=Math.max(-89,Math.min(89,el+dy*0.4));}
+ q('rot').checked=false;refresh()};
+img.onpointerup=()=>{drag=null};
+img.onwheel=e=>{di=Math.max(0.3,Math.min(12,di*(1+e.deltaY*0.001)));
+ e.preventDefault();refresh()};
 refresh();
 </script></body></html>"""
 
@@ -56,16 +76,24 @@ class SceneViewer:
         self.rcfg = rcfg
         self.port = port
 
-    def render(self, azimuth, elevation, distance, reso) -> bytes:
+    def render(self, azimuth, elevation, distance, reso,
+               fov=53.13, near=0.01, far=1000.0,
+               center=(0.0, 0.0, 0.0)) -> bytes:
+        """Free camera: orbit pose around a pannable center with
+        client-driven fov/near/far — viser-viewer parity
+        (reference utils/viewer/viser_viewer.py:26-188 GUI controls)."""
         import math
         from PIL import Image
         ar, er = math.radians(azimuth), math.radians(elevation)
-        pos = np.array([distance * math.cos(er) * math.cos(ar),
-                        distance * math.cos(er) * math.sin(ar),
-                        distance * math.sin(er)])
+        center = np.asarray(center, np.float64)
+        pos = center + np.array([distance * math.cos(er) * math.cos(ar),
+                                 distance * math.cos(er) * math.sin(ar),
+                                 distance * math.sin(er)])
         c2w = jnp.asarray(c2w_from_up_and_look_at(
-            np.array([0.0, 0.0, 1.0]), np.zeros(3), pos))
-        intr = CameraIntrinsics.from_reso(int(reso))
+            np.array([0.0, 0.0, 1.0]), center, pos))
+        intr = CameraIntrinsics.from_fov(
+            math.radians(float(fov)), 1.0, int(reso),
+            near=float(near), far=float(far))
         out = render_view(self.state.params, self.state.active, c2w, intr,
                           self.rcfg, jnp.zeros((3,)))
         img = np.clip(np.asarray(out["rgb"]), 0, 1)
@@ -93,7 +121,13 @@ class SceneViewer:
                         float(q.get("azimuth", 0)),
                         float(q.get("elevation", 20)),
                         float(q.get("distance", 2.5)),
-                        int(q.get("reso", 256)))
+                        int(q.get("reso", 256)),
+                        fov=float(q.get("fov", 53.13)),
+                        near=float(q.get("near", 0.01)),
+                        far=float(q.get("far", 1000.0)),
+                        center=(float(q.get("cx", 0)),
+                                float(q.get("cy", 0)),
+                                float(q.get("cz", 0))))
                     self.send_response(200)
                     self.send_header("Content-Type", "image/jpeg")
                 else:
