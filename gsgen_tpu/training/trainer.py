@@ -177,6 +177,9 @@ class Trainer:
         self.lr_fns = {k: make_lr_schedule(v, cfg.max_steps)
                        for k, v in cfg.lr.items()}
         self.dup_bucket = rcfg.dup_cap
+        self._prewarm_threads = {}
+        self._last_abstract = None
+        self.compile_log = []
         self._step_cache: Dict[Any, Callable] = {}
         self._densify_jit = jax.jit(densify, static_argnames=("cfg", "rcfg"))
         self._prune_jit = jax.jit(prune, static_argnames=("cfg", "rcfg"))
@@ -427,8 +430,46 @@ class Trainer:
     def _get_step_fn(self, intr: CameraIntrinsics):
         key = (intr, self.dup_bucket)
         if key not in self._step_cache:
-            self._step_cache[key] = self._build_step(intr)
+            # a compile-ahead thread may already be building it
+            fut = self._prewarm_threads.pop(key, None)
+            if fut is not None:
+                fut.join()
+            if key not in self._step_cache:
+                self._step_cache[key] = self._build_step(intr)
         return self._step_cache[key]
+
+    def _prewarm_bucket(self, intr: CameraIntrinsics, bucket: int):
+        """Compile the NEXT dup bucket's executable on a host thread
+        while training continues on the current one (VERDICT round-2
+        item 7: densify growth otherwise stalls the loop for the full
+        compile time when the bucket trigger fires).  XLA compilation
+        releases the GIL, so this overlaps with stepping; shapes are
+        taken from the live step (capacity is static, so only the
+        bucket differs)."""
+        key = (intr, bucket)
+        if (key in self._step_cache or key in self._prewarm_threads
+                or self._last_abstract is None):
+            return
+        abstract = self._last_abstract
+        saved_bucket = self.dup_bucket
+
+        def compile_it():
+            import time as _t
+            t0 = _t.perf_counter()
+            self.dup_bucket = bucket      # _build_step reads it
+            try:
+                fn = self._build_step(intr)
+                compiled = fn.lower(*abstract).compile()
+            finally:
+                self.dup_bucket = saved_bucket
+            self._step_cache[key] = compiled
+            self.compile_log.append(
+                {"bucket": bucket, "prewarm_s": _t.perf_counter() - t0})
+
+        import threading
+        t = threading.Thread(target=compile_it, daemon=True)
+        self._prewarm_threads[key] = t
+        t.start()
 
     def _adjust_dup_bucket(self, n_dup_max: int):
         """Grow on (near-)overflow, shrink when persistently oversized."""
@@ -468,7 +509,15 @@ class Trainer:
         # bucket feedback only every 10 steps: int() forces a host sync,
         # which would otherwise serialize the async dispatch pipeline
         if self.cfg.auto_dup_bucket and step % 10 == 0:
-            self._adjust_dup_bucket(int(metrics["n_dup_max"]))
+            self._last_abstract = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                if hasattr(x, "shape") else x,
+                (self.state, stacked, sched, gfrozen, prev_mean))
+            n_dup = int(metrics["n_dup_max"])
+            self._adjust_dup_bucket(n_dup)
+            # approaching the x2 growth trigger: compile ahead
+            if n_dup > 0.5 * self.dup_bucket:
+                self._prewarm_bucket(intr, self.dup_bucket * 2)
         return metrics
 
     def density_step(self, step: int) -> Dict[str, Any]:
