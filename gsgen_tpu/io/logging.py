@@ -19,7 +19,8 @@ import numpy as np
 
 class RunLogger:
     def __init__(self, root="checkpoints", name: str = "run",
-                 use_tensorboard: bool = True):
+                 use_tensorboard: bool = True, use_wandb: bool = False,
+                 wandb_kwargs: Optional[Dict] = None):
         now = datetime.datetime.now()
         safe = name.replace(" ", "_")[:80]
         self.dir = (Path(root) / safe / now.strftime("%Y-%m-%d")
@@ -37,6 +38,19 @@ class RunLogger:
                 self.tb = SummaryWriter(log_dir=str(self.log_dir))
             except Exception:
                 self.tb = None
+        # optional remote experiment tracking — the reference syncs TB to
+        # wandb (trainer.py:194-221); wandb isn't installed in the
+        # zero-egress environment, so this is an import-gated adapter
+        # that activates wherever the package (and network) exist
+        self.wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self.wandb = wandb.init(
+                    name=name, dir=str(self.dir),
+                    **(wandb_kwargs or {}))
+            except Exception:
+                self.wandb = None
 
     def log_scalars(self, step: int, scalars: Dict[str, float]):
         rec = {"step": step, **{k: float(v) for k, v in scalars.items()}}
@@ -45,6 +59,9 @@ class RunLogger:
         if self.tb is not None:
             for k, v in scalars.items():
                 self.tb.add_scalar(k, float(v), step)
+        if self.wandb is not None:
+            self.wandb.log({k: float(v) for k, v in scalars.items()},
+                           step=step)
 
     def log_image(self, step: int, name: str, img: np.ndarray):
         """img [H, W, 3] float in [0, 1]; also saved as png under eval/."""
