@@ -515,8 +515,12 @@ class Trainer:
                 (self.state, stacked, sched, gfrozen, prev_mean))
             n_dup = int(metrics["n_dup_max"])
             self._adjust_dup_bucket(n_dup)
-            # approaching the x2 growth trigger: compile ahead
-            if n_dup > 0.5 * self.dup_bucket:
+            # approaching the x2 growth trigger (0.7): compile ahead.
+            # 0.35 leaves a full occupancy doubling of lead time — at
+            # production densify cadence (period >= 1000 steps,
+            # conf/base.yaml:153-163) that is hundreds of steps, far
+            # beyond the ~35 s compile (BASELINE.md round-3 table)
+            if n_dup > 0.35 * self.dup_bucket:
                 self._prewarm_bucket(intr, self.dup_bucket * 2)
         return metrics
 
