@@ -75,3 +75,57 @@ def run_sweep(config_paths: List[str], steps: Optional[int] = None,
         results.append({"config": p, "run_dir": str(logger.dir)})
         logger.close()
     return results
+
+
+def run_sweep_scheduled(config_paths: List[str],
+                        slots: Optional[List[Dict[str, str]]] = None,
+                        steps: Optional[int] = None,
+                        log_root: str = "checkpoints/sweep",
+                        poll_s: float = 5.0):
+    """Schedule sweep configs onto device SLOTS as subprocesses — the
+    reference's free-GPU scheduler (sweep.py:80-122: nvitop polling +
+    CUDA_VISIBLE_DEVICES) rebuilt for TPU fleets: each slot is an env
+    overlay naming a device/host (e.g. ``{"TPU_VISIBLE_DEVICES": "0"}``
+    or a per-host ``JAX_COORDINATOR`` set); a config launches whenever a
+    slot frees up.  With one slot (this environment) it degrades to the
+    sequential runner in a subprocess-isolated form.
+
+    Returns [{config, run_dir or returncode}].
+    """
+    import os
+    import subprocess
+    import sys
+    import time
+
+    slots = slots or [{}]
+    pending = list(config_paths)
+    running: List[tuple] = []        # (proc, slot, cfg_path)
+    results = []
+    while pending or running:
+        # reap
+        still = []
+        for proc, slot, cfg_path in running:
+            rc = proc.poll()
+            if rc is None:
+                still.append((proc, slot, cfg_path))
+            else:
+                results.append({"config": cfg_path, "returncode": rc})
+        running = still
+        # launch
+        busy = {id(s) for _, s, _ in running}
+        for slot in slots:
+            if not pending or id(slot) in busy:
+                continue
+            cfg_path = pending.pop(0)
+            env = dict(os.environ)
+            env.update(slot)
+            code = (
+                "from gsgen_tpu.utils.sweep import run_sweep; "
+                f"run_sweep([{cfg_path!r}], steps={steps!r}, "
+                f"log_root={log_root!r})")
+            proc = subprocess.Popen([sys.executable, "-c", code], env=env)
+            running.append((proc, slot, cfg_path))
+            busy.add(id(slot))
+        if running:
+            time.sleep(poll_s)
+    return results

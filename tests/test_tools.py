@@ -100,3 +100,32 @@ def test_rehearsal_mock(tmp_path):
     assert len(lines) == 4
     evals = list(tmp_path.glob("eval_*"))
     assert evals, "no eval image written"
+
+
+def test_sweep_scheduler(tmp_path):
+    """Slot scheduler launches each config exactly once and reaps."""
+    import json
+    import sys
+    from gsgen_tpu.utils import sweep as sw
+
+    # subprocess stub: instead of real training, each 'config' is a
+    # marker file the child writes — scheduling logic is what's under test
+    paths = [str(tmp_path / f"{i}.yaml") for i in range(3)]
+    for p in paths:
+        open(p, "w").write("{}")
+    import subprocess
+    real_popen = subprocess.Popen
+    launched = []
+
+    def fake_popen(args, env=None):
+        launched.append(env.get("SLOT_ID", "?"))
+        return real_popen([sys.executable, "-c", "pass"])
+    subprocess.Popen = fake_popen
+    try:
+        res = sw.run_sweep_scheduled(
+            paths, slots=[{"SLOT_ID": "a"}, {"SLOT_ID": "b"}], poll_s=0.05)
+    finally:
+        subprocess.Popen = real_popen
+    assert len(res) == 3
+    assert all(r["returncode"] == 0 for r in res)
+    assert set(launched) <= {"a", "b"} and len(launched) == 3
