@@ -99,6 +99,7 @@ class RenderConfig:
     mxu_scans: bool = True      # backward scans as MXU matmuls (grad rel
                                 # err ~2e-3 from the TPU's 1e-4-class
                                 # transcendentals; see pallas_raster)
+    binning_layout: str = "padded"   # padded | compact (see render_view)
     fast_fwd_cumprod: bool = False   # forward MXU cumprod: ~30% faster
                                      # fwd kernel, ~4e-3 image error
     sh_degree: int = 0          # 0 = per-Gaussian RGB; >0 = SH bands
@@ -276,13 +277,26 @@ def render_view(
     n_tiles_pad = (-(-intr.w // cfg.tile_size)) * (-(-intr.h // cfg.tile_size))
     pad_budget = int(n_tiles_pad * chunk * cfg.pad_frac
                      + chunk - 1) // chunk * chunk
+    # binning layout: "padded" (default — measured faster at the 100K/512²
+    # workload: the compact walk's extra boundary windows offset its
+    # binning/pack savings, BASELINE.md round 3) or "compact" (padding-
+    # free; wins when alignment padding dominates — sparse scenes on
+    # large tile grids).  Compact needs the Pallas resident-cotangent
+    # backward.
+    from ..ops.pallas_raster import _RESIDENT_BUDGET
+    ch_guess = 8 if (3 if rgb_only else 6) + 2 <= 8 else 16
+    P_tile = cfg.tile_size * cfg.tile_size
+    compact_ok = (cfg.binning_layout == "compact"
+                  and backend == "pallas"
+                  and n_tiles_pad * ch_guess * P_tile * 4 <= _RESIDENT_BUDGET)
     bins = bin_gaussians(
         jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(proj.cov2d),
         jax.lax.stop_gradient(proj.depth), vis,
         fx, fy, cx, cy, intr.w, intr.h, cfg.tile_size, cfg.dup_cap,
         chunk=chunk, tile_culling_radius=cfg.tile_culling_radius,
         pixel_offset_y=pixel_offset_y,
-        alpha=jax.lax.stop_gradient(alpha), pad_budget=pad_budget)
+        alpha=jax.lax.stop_gradient(alpha), pad_budget=pad_budget,
+        layout="compact" if compact_ok else "padded")
 
     if rgb_only:
         feats = color

@@ -29,7 +29,7 @@ back onto Gaussians).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -71,6 +71,15 @@ class BinnedTiles(NamedTuple):
     gid_cum: jax.Array
     chunk_tile: jax.Array
     padded_total: jax.Array
+    # ---- compact layout (layout="compact", the Pallas production path:
+    # no alignment padding, no pos scatter — kernels walk K-aligned
+    # WINDOWS of the compact sorted table with lane masks at segment
+    # boundaries; see pallas_raster.py round-3 notes) ----
+    gid_s: Optional[jax.Array] = None        # [cap] sorted gaussian ids
+    step_tile: Optional[jax.Array] = None    # [max_steps] owning tile per
+                                             # (tile, window) kernel step;
+                                             # sentinel n_tiles = dead
+    step_window: Optional[jax.Array] = None  # [max_steps] window index
 
 
 def tile_aabbs(
@@ -169,6 +178,13 @@ def bin_gaussians(
                               # the pack gather and the backward grid;
                               # overflow drops far duplicates, monitored
                               # via ``padded_total``)
+    layout: str = "padded",   # "padded": chunk-aligned copy of each
+                              # segment (XLA backend, sharded renders) —
+                              # "compact": no padding; kernels walk
+                              # K-aligned WINDOWS of the sorted table
+                              # with boundary lane masks (Pallas path;
+                              # skips the pos scatter + fills, the
+                              # hottest binning ops, BASELINE.md round 3)
 ) -> BinnedTiles:
     """Bin Gaussians into chunk-aligned, depth-sorted per-tile segments."""
     n_tiles_w = -(-w // tile_size)
@@ -232,6 +248,44 @@ def bin_gaussians(
     end_c = edges[1:]
     seg_len = end_c - start_c
 
+    gid_cum_early = jnp.minimum(cum, jnp.minimum(jnp.int32(cap), total))
+    if layout == "compact":
+        # (tile, window) kernel-step tables: tile t walks the K-aligned
+        # windows [start_c//K, ceil(end_c/K)); adjacent tiles SHARE the
+        # boundary window (disjoint lanes).  Enumerated by tile, window
+        # ascending: the step list is non-decreasing in window, so the
+        # backward can merge shared windows via output-block revisiting.
+        K = chunk
+        w_lo = start_c // K
+        w_hi = (end_c + K - 1) // K
+        n_win = jnp.maximum(w_hi - w_lo, 0)
+        max_steps = cap // K + n_tiles
+        step_start = jnp.concatenate(
+            [jnp.zeros((1,), jnp.int32), jnp.cumsum(n_win)[:-1]])
+        total_steps = step_start[-1] + n_win[-1]
+        jj = jnp.arange(max_steps, dtype=jnp.int32)
+        tid = jnp.arange(n_tiles, dtype=jnp.int32)
+        fill = lambda v: jax.lax.cummax(  # noqa: E731
+            jnp.full((max_steps,), jnp.int32(-(1 << 30))).at[
+                jnp.clip(step_start, 0, max_steps - 1)].max(
+                    v, mode="drop"))
+        live_step = jj < total_steps
+        step_tile = jnp.where(live_step, fill(tid), n_tiles)
+        # window = j - (step_start[t] - w_lo[t]); clamp dead tail so
+        # late steps only zero-fill blocks past the last real window
+        step_window = jnp.clip(jj - fill(step_start - w_lo),
+                               0, cap // K - 1)
+        # the VJP keys tail rows (>= total) to the sentinel id N so the
+        # gather pulls the zero row and grads aggregate nowhere
+        gid_sent = jnp.where(jnp.arange(cap, dtype=jnp.int32) < total,
+                             gid_s, counts.shape[0]).astype(jnp.int32)
+        return BinnedTiles(
+            padded_gid=None, row_valid=None,
+            starts=start_c, ends=end_c, total=total,
+            gid_cum=gid_cum_early, chunk_tile=None,
+            padded_total=total, gid_s=gid_sent,
+            step_tile=step_tile, step_window=step_window)
+
     # chunk-aligned layout; clamp to cap_padded so kernels never walk
     # past the buffer when the padding budget overflows (the pos scatter
     # below drops those rows; padded_total records the demand)
@@ -276,7 +330,7 @@ def bin_gaussians(
                 ends, mode="drop"))
     row_valid = jnp.arange(cap_padded, dtype=jnp.int32) < end_fill
 
-    gid_cum = jnp.minimum(cum, jnp.minimum(jnp.int32(cap), total))
+    gid_cum = gid_cum_early
     # owning tile per chunk slot: scatter each tile's id at its first
     # slot (.max resolves empty-tile collisions to the last/largest id,
     # whose chunk-count bound then rejects the slot) + cummax fill

@@ -138,10 +138,13 @@ def _update_T(T_col, om, cp_excl, processed):
     return T_col * prod_eff
 
 
-def _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans=False):
+def _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans=False,
+                   lane_valid=None):
     """Shared fwd/bwd chunk math.
 
     d: [D_ROWS, K] chunk slice; pixx/pixy: [P, 1]; T_col: [P, 1].
+    ``lane_valid`` [1, K] masks lanes outside the tile's segment in the
+    COMPACT layout (boundary windows hold the neighbor tile's rows).
     Returns (G, aG, om, T_run, processed, w) — all [P, K] — matching
     oracle.composite_dense semantics exactly.
     """
@@ -156,6 +159,8 @@ def _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans=False):
     a_cl = jnp.minimum(al, ALPHA_CLAMP)
     aG = a_cl * G
     aG = jnp.where(aG < MIN_RENDER_ALPHA, 0.0, aG)
+    if lane_valid is not None:
+        aG = jnp.where(lane_valid, aG, 0.0)
     om = 1.0 - aG
     cp_excl = (_excl_cumprod_mxu(om) if mxu_scans
                else _excl_cumprod_lanes(om))
@@ -180,17 +185,22 @@ def _pix_coords(t, geom_ref, tile_size, n_tiles_w):
     return pixx, pixy
 
 
-def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
-                buf, sem, *, tile_size, n_tiles_w, K, F, ch_out,
-                T_thresh, fast_cumprod=False):
+def _fwd_kernel(starts_ref, ends_ref, nchunks_ref, geom_ref, dup_ref,
+                out_ref, buf, sem, *, tile_size, n_tiles_w, K, F, ch_out,
+                T_thresh, fast_cumprod=False, compact=False):
     t = pl.program_id(0)
     start = starts_ref[t]
+    end = ends_ref[t]
     nck = nchunks_ref[t]
     P = tile_size * tile_size
     pixx, pixy = _pix_coords(t, geom_ref, tile_size, n_tiles_w)
+    # compact layout: walk K-aligned WINDOWS covering [start, end);
+    # boundary lanes masked (they hold the neighbor tile's rows)
+    base = (start // K) * K if compact else start
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
 
     def dma(slot, i):
-        idx = pl.multiple_of(start + i * K, K)
+        idx = pl.multiple_of(base + i * K, K)
         return pltpu.make_async_copy(dup_ref.at[:, pl.ds(idx, K)],
                                      buf.at[slot], sem.at[slot])
 
@@ -212,8 +222,12 @@ def _fwd_kernel(starts_ref, nchunks_ref, geom_ref, dup_ref, out_ref,
 
         dma(slot, i).wait()
         d = buf[slot]                                    # [D_ROWS, K]
+        lv = None
+        if compact:
+            row = base + i * K + lane
+            lv = (row >= start) & (row < end)
         (_, _, _, _, _, _, om, cp_excl, _, processed, w) = _chunk_weights(
-            d, pixx, pixy, T_col, T_thresh, fast_cumprod)
+            d, pixx, pixy, T_col, T_thresh, fast_cumprod, lane_valid=lv)
         fe = d[6:6 + F, :]                               # [F, K]
         # acc[F, P] += fe @ w^T   (contraction over K on the MXU)
         acc = acc + jax.lax.dot_general(
@@ -451,6 +465,216 @@ def _bwd_kernel_v2(chunk_tile_ref, starts_ref, nchunks_ref, nckeff_ref,
                                                        jnp.float32)
 
 
+
+
+def _bwd_kernel_v3(step_tile_ref, step_window_ref, starts_ref, ends_ref,
+                   wcount_ref, nckeff_ref, geom_ref, dup_ref, gpack_ref,
+                   grad_ref, T_sc, S_sc, D_sc, *, tile_size, n_tiles_w,
+                   n_tiles, K, F, ch_out, T_thresh, mxu_scans):
+    """Compact-layout backward: one grid step per (tile, window) pair.
+
+    The compact table has NO alignment padding: tile t's rows live at
+    [starts[t], ends[t]) and adjacent tiles SHARE boundary windows at
+    disjoint lanes.  The step list (from binning) is non-decreasing in
+    window, so a shared window's two visits are consecutive grid steps
+    hitting the SAME output block — Pallas keeps it VMEM-resident, and
+    the second visitor merges its lanes into the first's (no adds
+    needed: writers own disjoint lanes).  Sentinel steps (tile ==
+    n_tiles) zero-fill any tail blocks they open.
+
+    This deletes the padded layout's pos-scatter/offset-fill/row-valid
+    machinery from binning and shrinks the pack gather to the compact
+    domain — the two serial-engine stages the round-3 profile put at
+    ~2.2 ms (BASELINE.md).
+    """
+    j = pl.program_id(0)
+    t = step_tile_ref[j]
+    w = step_window_ref[j]
+    P = tile_size * tile_size
+
+    prev = jnp.maximum(j - 1, 0)
+    first_visit = jnp.logical_or(j == 0, step_window_ref[prev] != w)
+    new_tile = jnp.logical_or(j == 0, step_tile_ref[prev] != t)
+    known = t < n_tiles
+    ts = jnp.where(known, t, 0)
+    start = starts_ref[ts]
+    end = ends_ref[ts]
+    local = w - start // K
+    nck = jnp.minimum(wcount_ref[ts], nckeff_ref[ts])
+    live = known & (local >= 0) & (local < nck)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, K), 1)
+    row = w * K + lane
+    lane_valid = (row >= start) & (row < end) & known
+    mask16 = jnp.broadcast_to(lane_valid, (D_ROWS, K))
+
+    @pl.when(known & new_tile)
+    def _():
+        T_sc[...] = jnp.ones((P, 1), jnp.float32)
+        S_sc[...] = jnp.zeros((P, 1), jnp.float32)
+        D_sc[...] = jnp.transpose(gpack_ref[ts, ch_out - 2:ch_out, :])
+
+    @pl.when(live)
+    def _():
+        pixx, pixy = _pix_coords(ts, geom_ref, tile_size, n_tiles_w)
+        gfe = gpack_ref[ts, 0:F, :]
+        dotfinal = D_sc[:, 0:1]
+        gT_Tf = D_sc[:, 1:2]
+
+        T_col = T_sc[...]
+        Sdot = S_sc[...]
+        d = dup_ref[...]
+        (dx, dy, radial, G, a_cl, aG, om, cp_excl, T_run, processed,
+         wgt) = _chunk_weights(d, pixx, pixy, T_col, T_thresh, mxu_scans,
+                               lane_valid=lane_valid)
+        fe = d[6:6 + F, :]
+        al = d[5:6, :]
+
+        gof = jax.lax.dot_general(
+            gfe, fe, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        e = wgt * gof
+        incl = _incl_cumsum_mxu(e) if mxu_scans else _incl_cumsum_lanes(e)
+        accum_dot = Sdot + incl
+        suffix = dotfinal - accum_dot
+        om_safe = jnp.maximum(om, 1e-6)
+        daG = jnp.where(processed & (aG > 0.0),
+                        gof * T_run - (suffix + gT_Tf) / om_safe, 0.0)
+
+        dalpha = jnp.sum(daG * G, axis=0, keepdims=True) \
+            * (al < ALPHA_CLAMP)
+        dG = daG * a_cl
+        dr = jnp.where(radial > 0.0, -0.5 * G * dG, 0.0)
+        ca, cb, cc = d[2:3, :], d[3:4, :], d[4:5, :]
+        dmx = jnp.sum(dr * -(2.0 * ca * dx + 2.0 * cb * dy),
+                      axis=0, keepdims=True)
+        dmy = jnp.sum(dr * -(2.0 * cb * dx + 2.0 * cc * dy),
+                      axis=0, keepdims=True)
+        dca = jnp.sum(dr * dx * dx, axis=0, keepdims=True)
+        dcb = jnp.sum(dr * 2.0 * dx * dy, axis=0, keepdims=True)
+        dcc = jnp.sum(dr * dy * dy, axis=0, keepdims=True)
+        dfe = jax.lax.dot_general(
+            gfe, wgt, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+        pad = jnp.zeros((D_ROWS - 6 - F, K), jnp.float32)
+        mine = jnp.concatenate([dmx, dmy, dca, dcb, dcc, dalpha, dfe, pad],
+                               axis=0)
+        # single-visitor windows (the common case) write without reading
+        # the output block back — the read would serialize the output
+        # pipeline on every step instead of only at shared boundaries
+        @pl.when(first_visit)
+        def _():
+            grad_ref[...] = jnp.where(mask16, mine, 0.0)
+
+        @pl.when(jnp.logical_not(first_visit))
+        def _():
+            grad_ref[...] = jnp.where(mask16, mine, grad_ref[...])
+        T_sc[...] = _update_T(T_col, om, cp_excl, processed)
+        S_sc[...] = Sdot + jnp.sum(e, axis=1, keepdims=True)
+
+    # not-live visitors still own their lanes (early-exited windows have
+    # exactly-zero grads) or must zero-initialize a freshly opened block
+    @pl.when(jnp.logical_not(live) & first_visit)
+    def _():
+        grad_ref[...] = jnp.where(mask16, 0.0, 0.0)
+
+    @pl.when(jnp.logical_not(live) & jnp.logical_not(first_visit))
+    def _():
+        grad_ref[...] = jnp.where(mask16, 0.0, grad_ref[...])
+
+
+@functools.lru_cache(maxsize=None)
+def _make_core_compact(n_tiles: int, n_tiles_w: int, tile_size: int,
+                       K: int, F: int, cap: int, n_steps: int,
+                       T_thresh: float, interpret: bool,
+                       mxu_scans: bool = True,
+                       fast_fwd_cumprod: bool = False):
+    """custom_vjp kernel pair over the COMPACT (padding-free) layout."""
+    P = tile_size * tile_size
+    ch_out = 8 if F + 2 <= 8 else 16
+    assert n_tiles * ch_out * P * 4 <= _RESIDENT_BUDGET, \
+        "compact layout requires the resident-cotangent backward"
+
+    fwd_call = pl.pallas_call(
+        functools.partial(_fwd_kernel, tile_size=tile_size,
+                          n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
+                          T_thresh=T_thresh, fast_cumprod=fast_fwd_cumprod,
+                          compact=True),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,      # starts, ends, wcount
+            grid=(n_tiles,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
+                pl.BlockSpec(memory_space=pl.ANY),       # dup [16, cap]
+            ],
+            out_specs=pl.BlockSpec((1, ch_out, P), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((2, D_ROWS, K), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, ch_out, P), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )
+
+    bwd_call = pl.pallas_call(
+        functools.partial(_bwd_kernel_v3, tile_size=tile_size,
+                          n_tiles_w=n_tiles_w, n_tiles=n_tiles, K=K, F=F,
+                          ch_out=ch_out, T_thresh=T_thresh,
+                          mxu_scans=mxu_scans),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            # step_tile, step_window, starts, ends, wcount, nckeff
+            num_scalar_prefetch=6,
+            grid=(n_steps,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),   # geom
+                pl.BlockSpec((D_ROWS, K),
+                             lambda j, st, sw, *_: (0, sw[j])),   # dup
+                pl.BlockSpec(memory_space=pltpu.VMEM),   # gpack resident
+            ],
+            out_specs=pl.BlockSpec((D_ROWS, K),
+                                   lambda j, st, sw, *_: (0, sw[j])),
+            scratch_shapes=[
+                pltpu.VMEM((P, 1), jnp.float32),
+                pltpu.VMEM((P, 1), jnp.float32),
+                pltpu.VMEM((P, 2), jnp.float32),
+            ]),
+        out_shape=jax.ShapeDtypeStruct((D_ROWS, cap), jnp.float32),
+        interpret=interpret,
+        # shared boundary windows merge via output-block revisiting:
+        # strictly sequential
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+
+    @jax.custom_vjp
+    def core(dup, step_tile, step_window, starts, ends, wcount, geom):
+        return fwd_call(starts, ends, wcount, geom, dup)
+
+    def core_fwd(dup, step_tile, step_window, starts, ends, wcount, geom):
+        out = fwd_call(starts, ends, wcount, geom, dup)
+        return out, (dup, step_tile, step_window, starts, ends, wcount,
+                     geom, out)
+
+    def core_bwd(res, g):
+        (dup, step_tile, step_window, starts, ends, wcount, geom,
+         out) = res
+        nckeff = out[:, ch_out - 1, 0].astype(jnp.int32)
+        dotfinal = jnp.sum(g[:, 0:F, :] * out[:, 0:F, :], axis=1)
+        gT_Tf = g[:, F, :] * out[:, F, :]
+        gpack = g.at[:, ch_out - 2, :].set(dotfinal)
+        gpack = gpack.at[:, ch_out - 1, :].set(gT_Tf)
+        dgrad = bwd_call(step_tile, step_window, starts, ends, wcount,
+                         nckeff, geom, dup, gpack)
+        return dgrad, None, None, None, None, None, None
+
+    core.defvjp(core_fwd, core_bwd)
+    return core
+
+
 # resident-gpack bwd needs n_tiles * ch_out * P * 4 bytes of VMEM for the
 # cotangent array; beyond this budget fall back to the streaming kernel
 _RESIDENT_BUDGET = 9 * 1024 * 1024
@@ -473,7 +697,7 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
                           n_tiles_w=n_tiles_w, K=K, F=F, ch_out=ch_out,
                           T_thresh=T_thresh, fast_cumprod=fast_fwd_cumprod),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,      # starts, ends, nchunks
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),   # geom [4]
@@ -553,11 +777,11 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
         )
 
     @jax.custom_vjp
-    def core(dup, chunk_tile, starts, nchunks, geom):
-        return fwd_call(starts, nchunks, geom, dup)
+    def core(dup, chunk_tile, starts, ends, nchunks, geom):
+        return fwd_call(starts, ends, nchunks, geom, dup)
 
-    def core_fwd(dup, chunk_tile, starts, nchunks, geom):
-        out = fwd_call(starts, nchunks, geom, dup)
+    def core_fwd(dup, chunk_tile, starts, ends, nchunks, geom):
+        out = fwd_call(starts, ends, nchunks, geom, dup)
         return out, (dup, chunk_tile, starts, nchunks, geom, out)
 
     def core_bwd(res, g):
@@ -577,7 +801,7 @@ def _make_core(n_tiles: int, n_tiles_w: int, tile_size: int, K: int, F: int,
         else:
             dgrad = bwd_call(chunk_tile, starts, nchunks, nckeff, geom,
                              dup, out, g)
-        return dgrad, None, None, None, None
+        return dgrad, None, None, None, None, None
 
     core.defvjp(core_fwd, core_bwd)
     return core
@@ -705,23 +929,44 @@ def rasterize_tiles_pallas(
     n_tiles = n_tiles_w * n_tiles_h
     P = tile_size * tile_size
     F = feats.shape[-1]
-    cap = bins.padded_gid.shape[0]
-    assert cap % chunk == 0
-
-    dup = pack_dup(mean2d, conic, alpha, feats, bins.padded_gid,
-                   bins.row_valid, cap, gid_cum=bins.gid_cum)
-    counts = bins.ends - bins.starts
-    nchunks = (counts + chunk - 1) // chunk
     geom = jnp.stack([jnp.float32(topleft[0]), jnp.float32(topleft[1]),
                       jnp.float32(pixel_size[0]), jnp.float32(pixel_size[1])])
 
-    core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
-                      float(T_thresh), interpret, blk=int(blk),
-                      mxu_scans=bool(mxu_scans),
-                      fast_fwd_cumprod=bool(fast_fwd_cumprod))
-    out = core(dup, bins.chunk_tile.astype(jnp.int32),
-               bins.starts.astype(jnp.int32),
-               nchunks.astype(jnp.int32), geom)        # [n_tiles, 8, P]
+    if bins.step_tile is not None:
+        # COMPACT layout (production): no alignment padding; kernels
+        # walk K-aligned windows with boundary lane masks
+        cap = bins.gid_s.shape[0]
+        assert cap % chunk == 0
+        valid = jnp.ones((cap,), bool)      # sentinel already in gid_s
+        dup = pack_dup(mean2d, conic, alpha, feats, bins.gid_s, valid,
+                       cap, gid_cum=bins.gid_cum)
+        starts = bins.starts.astype(jnp.int32)
+        ends = bins.ends.astype(jnp.int32)
+        wcount = (ends + chunk - 1) // chunk - starts // chunk
+        core = _make_core_compact(
+            n_tiles, n_tiles_w, tile_size, chunk, F, cap,
+            int(bins.step_tile.shape[0]), float(T_thresh), interpret,
+            mxu_scans=bool(mxu_scans),
+            fast_fwd_cumprod=bool(fast_fwd_cumprod))
+        out = core(dup, bins.step_tile.astype(jnp.int32),
+                   bins.step_window.astype(jnp.int32), starts, ends,
+                   wcount.astype(jnp.int32), geom)
+    else:
+        cap = bins.padded_gid.shape[0]
+        assert cap % chunk == 0
+
+        dup = pack_dup(mean2d, conic, alpha, feats, bins.padded_gid,
+                       bins.row_valid, cap, gid_cum=bins.gid_cum)
+        counts = bins.ends - bins.starts
+        nchunks = (counts + chunk - 1) // chunk
+        core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
+                          float(T_thresh), interpret, blk=int(blk),
+                          mxu_scans=bool(mxu_scans),
+                          fast_fwd_cumprod=bool(fast_fwd_cumprod))
+        out = core(dup, bins.chunk_tile.astype(jnp.int32),
+                   bins.starts.astype(jnp.int32),
+                   bins.ends.astype(jnp.int32),
+                   nchunks.astype(jnp.int32), geom)    # [n_tiles, 8, P]
 
     img = out[:, :F, :].reshape(n_tiles_h, n_tiles_w, F,
                                 tile_size, tile_size)

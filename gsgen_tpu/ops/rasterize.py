@@ -107,7 +107,12 @@ def rasterize_tiles(
 
     # Gather per-duplicate data once; the transpose of this gather is the
     # deterministic scatter-add that accumulates per-Gaussian gradients.
-    gid = bins.padded_gid
+    # padding rows carry the sentinel id N (binning round-3): index
+    # clamp lands them on row N-1, which may be an INACTIVE slot whose
+    # feature channels are non-finite (e.g. degenerate PBR normals) —
+    # contributions are weight-0 but 0*NaN = NaN, so features must be
+    # masked, not just alpha
+    gid = jnp.minimum(bins.padded_gid, mean2d.shape[0] - 1)
     valid = bins.row_valid
     d_mx = mean2d[gid, 0]
     d_my = mean2d[gid, 1]
@@ -115,7 +120,7 @@ def rasterize_tiles(
     d_cb = conic[gid, 1]
     d_cc = conic[gid, 2]
     d_al = jnp.where(valid, alpha[gid], 0.0)
-    d_ft = feats[gid]
+    d_ft = jnp.where(valid[:, None], feats[gid], 0.0)
 
     # chunk -> owning tile (chunk-aligned layout guarantees uniqueness)
     chunk_row = jnp.arange(n_chunks, dtype=jnp.int32) * chunk

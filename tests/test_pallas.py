@@ -156,3 +156,71 @@ def test_pack_seg_vjp_matches_autodiff_scatter():
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def _setup_layout(layout, seed=0, n=96):
+    key = jax.random.PRNGKey(seed)
+    mean2d, cov2d, alpha, feats, depth = make_scene(key, n)
+    conic = conic_of(cov2d)
+    active = jnp.ones((n,), bool)
+    fx = fy = FX
+    cx = cy = RES / 2.0
+    bins = bin_gaussians(mean2d, cov2d, depth, active, fx, fy, cx, cy,
+                         RES, RES, TILE, 1024, chunk=CHUNK, layout=layout)
+    topleft = (-cx / fx, -cy / fy)
+    psz = (1.0 / fx, 1.0 / fy)
+    interp = jax.default_backend() == "cpu"
+
+    def fn(mean2d, conic, alpha, feats):
+        img, T = rasterize_tiles_pallas(
+            mean2d, conic, alpha, feats, bins, topleft, psz,
+            w=RES, h=RES, tile_size=TILE, chunk=CHUNK, interpret=interp)
+        return img, T
+    return (mean2d, conic, alpha, feats), fn
+
+
+def test_compact_layout_matches_padded():
+    """The padding-free compact layout (round 3: kernels walk K-aligned
+    windows of the sorted table, boundary lanes masked, backward merges
+    shared windows by output-block revisiting) must reproduce the padded
+    layout bit-for-bit — forward AND gradients."""
+    args, fn_pad = _setup_layout("padded")
+    _, fn_cmp = _setup_layout("compact")
+
+    img_p, T_p = jax.jit(fn_pad)(*args)
+    img_c, T_c = jax.jit(fn_cmp)(*args)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_p),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(T_c), np.asarray(T_p),
+                               rtol=1e-6, atol=1e-7)
+
+    cot = jax.random.uniform(jax.random.PRNGKey(7), img_p.shape)
+    cotT = jax.random.uniform(jax.random.PRNGKey(8), T_p.shape)
+
+    def loss(fn, *a):
+        img, T = fn(*a)
+        return jnp.sum(img * cot) + jnp.sum(T * cotT)
+
+    g_p = jax.jit(jax.grad(lambda *a: loss(fn_pad, *a), argnums=(0, 1, 2, 3)))(*args)
+    g_c = jax.jit(jax.grad(lambda *a: loss(fn_cmp, *a), argnums=(0, 1, 2, 3)))(*args)
+    # boundary windows regroup fp32 accumulation -> reassociation noise
+    for a, b in zip(g_p, g_c):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=2e-5)
+
+
+def test_compact_layout_early_exit():
+    """Saturated scene: the forward early exit truncates the backward
+    walk identically in both layouts."""
+    args, fn_pad = _setup_layout("padded", seed=3)
+    _, fn_cmp = _setup_layout("compact", seed=3)
+    m2, cn, al, ft = args
+    al = jnp.full_like(al, 4.0)      # sigmoid-ish saturation: big alphas
+    img_p, T_p = jax.jit(fn_pad)(m2, cn, al, ft)
+    img_c, T_c = jax.jit(fn_cmp)(m2, cn, al, ft)
+    np.testing.assert_allclose(np.asarray(img_c), np.asarray(img_p),
+                               rtol=1e-6, atol=1e-7)
+    g_p = jax.jit(jax.grad(lambda a: jnp.sum(jax.jit(fn_pad)(m2, cn, a, ft)[0])))(al)
+    g_c = jax.jit(jax.grad(lambda a: jnp.sum(jax.jit(fn_cmp)(m2, cn, a, ft)[0])))(al)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_p),
+                               rtol=1e-5, atol=1e-6)
