@@ -106,14 +106,6 @@ def _incl_cumsum_mxu(x: jax.Array) -> jax.Array:
                                preferred_element_type=jnp.float32)
 
 
-def _prod_lanes(x: jax.Array) -> jax.Array:
-    """Product along axis 1 (Mosaic has no reduce_prod): exp(sum(log)).
-    Inputs are (1-aG) in [0.01, 1] or exactly 1, so log is safe; the
-    ~1e-7 relative roundtrip error is far below compositing tolerances.
-    """
-    return jnp.exp(jnp.sum(jnp.log(x), axis=1, keepdims=True))
-
-
 def _incl_cumsum_lanes(x: jax.Array) -> jax.Array:
     """Inclusive cumulative sum along axis 1 (lanes)."""
     K = x.shape[1]
@@ -127,14 +119,15 @@ def _incl_cumsum_lanes(x: jax.Array) -> jax.Array:
 
 
 def _update_T(T_col, om, cp_excl, processed):
-    """T *= prod(om_eff).  Exact (pure multiplies) when every Gaussian in
-    the chunk was processed — the common case; the exp-sum-log fallback
-    only engages for saturated pixels whose T is below the early-exit
-    threshold anyway."""
-    prod_raw = cp_excl[:, -1:] * om[:, -1:]
-    all_processed = processed[:, -1:]          # processed is monotone in k
-    prod_eff = jnp.where(all_processed, prod_raw,
-                         _prod_lanes(jnp.where(processed, om, 1.0)))
+    """T' = T * prod of om over PROCESSED lanes — exact, transcendental-
+    free: the post-lane transmittance q_k = cp_excl_k * om_k is
+    monotonically decreasing in k, so the product over the processed
+    prefix is simply min over processed lanes of q_k (and 1 when no lane
+    was processed).  Replaces an exp-sum-log fallback that (a) ran
+    UNCONDITIONALLY every chunk and (b) carried the TPU's 1e-4-class
+    transcendental error into saturated pixels' T output."""
+    q = jnp.where(processed, cp_excl * om, jnp.inf)
+    prod_eff = jnp.minimum(jnp.min(q, axis=1, keepdims=True), 1.0)
     return T_col * prod_eff
 
 
