@@ -113,9 +113,10 @@ def main():
     nchunks = ((counts + CHUNK - 1) // CHUNK).astype(jnp.int32)
     ct = bins.chunk_tile.astype(jnp.int32)
     st = bins.starts.astype(jnp.int32)
+    en = bins.ends.astype(jnp.int32)
 
     def fwd_fn(d):
-        return core(d, ct, st, nchunks, geom)
+        return core(d, ct, st, en, nchunks, geom)
     t_fwd = time_chain(fwd_fn, dup)
     print(f"fwd kernel: {t_fwd*1e3:.2f} ms")
 
@@ -125,7 +126,8 @@ def main():
         out0 * jax.random.uniform(jax.random.PRNGKey(1), out0.shape))
 
     def fwdbwd_fn(d, ctg):
-        out, vjp = jax.vjp(lambda dd: core(dd, ct, st, nchunks, geom), d)
+        out, vjp = jax.vjp(
+            lambda dd: core(dd, ct, st, en, nchunks, geom), d)
         return vjp(ctg)[0]
     t_fb = time_chain(fwdbwd_fn, dup, cot)
     print(f"fwd+bwd kernels: {t_fb*1e3:.2f} ms "
