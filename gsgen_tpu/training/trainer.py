@@ -224,9 +224,9 @@ class Trainer:
         return s
 
     # ---- the jitted train step ----
-    def _build_step(self, intr: CameraIntrinsics):
+    def _build_step(self, intr: CameraIntrinsics, bucket=None):
         cfg, bg_cfg = self.cfg, self.bg_cfg
-        rcfg = self._effective_rcfg()
+        rcfg = self._effective_rcfg(bucket)
         guidance = self.guidance
         penalty_cfg = cfg.penalty
 
@@ -422,10 +422,11 @@ class Trainer:
 
         return jax.jit(train_step)
 
-    def _effective_rcfg(self):
-        if self.dup_bucket == self.rcfg.dup_cap:
+    def _effective_rcfg(self, bucket=None):
+        bucket = self.dup_bucket if bucket is None else bucket
+        if bucket == self.rcfg.dup_cap:
             return self.rcfg
-        return dataclasses.replace(self.rcfg, dup_cap=self.dup_bucket)
+        return dataclasses.replace(self.rcfg, dup_cap=bucket)
 
     def _get_step_fn(self, intr: CameraIntrinsics):
         key = (intr, self.dup_bucket)
@@ -451,17 +452,14 @@ class Trainer:
                 or self._last_abstract is None):
             return
         abstract = self._last_abstract
-        saved_bucket = self.dup_bucket
 
         def compile_it():
             import time as _t
             t0 = _t.perf_counter()
-            self.dup_bucket = bucket      # _build_step reads it
-            try:
-                fn = self._build_step(intr)
-                compiled = fn.lower(*abstract).compile()
-            finally:
-                self.dup_bucket = saved_bucket
+            # bucket passed explicitly: the main thread keeps stepping on
+            # self.dup_bucket while this compiles (no shared mutation)
+            fn = self._build_step(intr, bucket=bucket)
+            compiled = fn.lower(*abstract).compile()
             self._step_cache[key] = compiled
             self.compile_log.append(
                 {"bucket": bucket, "prewarm_s": _t.perf_counter() - t0})
