@@ -160,32 +160,19 @@ class ShapEDecoder:
             li, kind = int(m.group(2)), m.group(3)
             order.append(name)
             if kind == "weight":
-                # out = vectors, in = channels  (MetaLinear [out, in])
-                total = pw.shape[0]
-                # channels from the norm/gain width if present, else
-                # defer until the bias fixes `out`
-                c = (g["norm.weight"].shape[0] if "norm.weight" in g else
-                     g["gain"].shape[0] if "gain" in g else None)
-                groups[name_s]["_total"] = total
-                if c is not None:
-                    v = total // c
-                    layer_w[li] = (c, v)
+                # weight [out, in] flattens to (vectors=out, channels=in)
+                # (flatten_param_shapes); resolved in the second pass
+                # once the layer's bias has fixed `out`
+                groups[name_s]["_total"] = pw.shape[0]
             else:
-                out = pw.shape[0]                     # bias: [out] as
-                v, c = 1, out                         # (vectors=1? no —
-                # flatten: prod//last = 1 only for 1-D; bias shape (out,)
-                # flattens to (1, out)
+                # bias [out] flattens to (vectors=1, channels=out)
+                out = pw.shape[0]
                 projections[name] = ShapEProjection(
-                    weight=pw.reshape(v, c, d_latent), bias=pb.reshape(v, c),
-                    shape=(out,),
+                    weight=pw.reshape(1, out, d_latent),
+                    bias=pb.reshape(1, out), shape=(out,),
                     ln_scale=g.get("norm.weight"), ln_bias=g.get("norm.bias"),
                     gain=g.get("gain"))
-                if li in layer_w:
-                    pass
-                if li not in layer_w:
-                    layer_w[li] = (None, out)
-                else:
-                    layer_w[li] = (layer_w[li][0], out)
+                layer_w[li] = (layer_w.get(li, (None, None))[0], out)
 
         # second pass: weight tensors need (out, in); out comes from the
         # bias of the same layer (always meta together in released ckpts)
