@@ -297,33 +297,8 @@ def bin_gaussians(
     starts = jnp.minimum(aligned_start, cap_padded)
     ends = jnp.minimum(aligned_start + seg_len, cap_padded)
 
-    # Destination of sorted row j: pos = j + offset(tile), with
-    # offset(t) = aligned_start[t] - start_c[t], piecewise constant over
-    # each tile's run.  Materializing offset via aligned_start[tile_s] /
-    # start_c[tile_s] costs two [cap]-sized 1-D gathers (~3 ms at 256K on
-    # TPU — 1-D gathers are the slow primitive; row gathers are not);
-    # instead scatter the n_tiles offsets at each run's first row and
-    # forward-fill with a cummax scan.  The fill is exact because offset
-    # is non-decreasing in tile order (aligned_len >= seg_len), the first
-    # run starts at row 0, and empty tiles share both start_c and
-    # aligned_start with their next non-empty tile (identical offset, so
-    # colliding scatters agree).
-    j = jnp.arange(cap, dtype=jnp.int32)
-    in_seg = tile_s < n_tiles
-    offset_t = aligned_start - start_c                     # [n_tiles]
-    off = jax.lax.cummax(
-        jnp.full((cap,), jnp.int32(-(1 << 30))).at[
-            jnp.clip(start_c, 0, cap - 1)].max(offset_t, mode="drop"))
-    pos = jnp.where(in_seg, j + off, cap_padded)  # out-of-bounds -> dropped
-
-    # padding rows get the SENTINEL id N: the packer appends a zero row
-    # at index N so padding gathers all-zeros (alpha 0 -> no contribution)
-    # without a post-gather fixup pass — the fixup was measured to DOUBLE
-    # the pack gather's cost by breaking fusion (BASELINE.md round 3)
-    padded_gid = jnp.full((cap_padded,), counts.shape[0],
-                          jnp.int32).at[pos].set(gid_s, mode="drop")
-    # row_valid[r] = r < end(tile-of-r): same tiny-scatter + cummax trick
-    # on the padded domain (replaces a second [cap]->[cap_padded] scatter)
+    # row_valid[r] = r < end(tile-of-r): tiny-scatter + cummax trick on
+    # the padded domain
     end_fill = jax.lax.cummax(
         jnp.zeros((cap_padded,), jnp.int32).at[
             jnp.clip(aligned_start, 0, cap_padded - 1)].max(
@@ -339,6 +314,19 @@ def bin_gaussians(
         jnp.zeros((n_slots,), jnp.int32).at[
             jnp.clip(aligned_start // chunk, 0, n_slots - 1)].max(
                 jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
+
+    # padded_gid: padded slot s of tile t takes the contiguous compact
+    # rows starting at s*chunk - (aligned_start[t] - start_c[t]); built
+    # by a shifted-block-copy Pallas kernel (ops/gid_repack.py) instead
+    # of the 1-D pos scatter — the scatter ran at the serial scatter-
+    # engine rate and was the hottest binning op (1.46 ms at this
+    # scale, BASELINE.md round-3 sub-profile).  Padding rows carry the
+    # SENTINEL id N: the packer appends a zero row there (alpha 0 ->
+    # no contribution) with no post-gather fixup.
+    from .gid_repack import repack_gid
+    offset_t = aligned_start - start_c                     # [n_tiles]
+    padded_gid = repack_gid(gid_s, chunk_tile, offset_t, ends,
+                            cap_padded, chunk, counts.shape[0])
     return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
                        starts=starts, ends=ends, total=total,
                        gid_cum=gid_cum, chunk_tile=chunk_tile,
