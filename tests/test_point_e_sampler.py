@@ -323,3 +323,18 @@ def test_init_point_e_through_config(base_model, tmp_path, monkeypatch):
     np.testing.assert_allclose(mean, want, atol=1e-5)
     m = tr.train_step(0)
     assert np.isfinite(float(m["loss_total"]))
+
+
+def test_upsampler_checkpoint_roundtrip(up_model):
+    """Serialize the upsample transformer to the torch layout (with the
+    frozen-CLIP + channel-scale buffer keys real checkpoints carry),
+    reload -> bit-exact."""
+    state = flax_to_torch_state(up_model.params)
+    state["clip.model.visual.proj"] = np.zeros((4, 4), np.float32)
+    state["channel_scales"] = np.ones((6,), np.float32)
+    state["channel_biases"] = np.zeros((6,), np.float32)
+    m2 = PointEUpsamplerModel(up_model.cfg, key=jax.random.PRNGKey(42))
+    m2.load_weights(state)
+    for a, b in zip(jax.tree_util.tree_leaves(up_model.params),
+                    jax.tree_util.tree_leaves(m2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
