@@ -80,6 +80,15 @@ class BinnedTiles(NamedTuple):
                                              # (tile, window) kernel step;
                                              # sentinel n_tiles = dead
     step_window: Optional[jax.Array] = None  # [max_steps] window index
+    # ---- padded-layout VJP maps (round 4): the gradient aggregation
+    # sorts/gathers over the COMPACT [cap] domain instead of the padded
+    # [cap_padded] one (-27%% rows at the 100K/512² scale).  vjp_gid is
+    # the compact sorted gaussian id (sentinel N past ``total``);
+    # vjp_pos is the PADDED buffer position of each compact row
+    # (r + off_tile, carried through the aggregation sort so the one
+    # row-gather reads the padded grad buffer directly) ----
+    vjp_gid: Optional[jax.Array] = None      # [cap]
+    vjp_pos: Optional[jax.Array] = None      # [cap]
 
 
 def tile_aabbs(
@@ -333,7 +342,22 @@ def bin_gaussians(
     offset_t = aligned_start - start_c                     # [n_tiles]
     padded_gid = repack_gid(gid_s, chunk_tile, offset_t, ends,
                             cap_padded, chunk, counts.shape[0])
+
+    # VJP maps over the compact domain: off_t = aligned_start - start_c
+    # is a cumsum of non-negative per-tile padding amounts, hence
+    # NON-DECREASING — the tiny-scatter + cummax fill applies.  Empty
+    # tiles share a start_c position; .max resolves to the later tile's
+    # (larger) offset, which is the one owning the slot.
+    n_surv = jnp.minimum(total, jnp.int32(cap))
+    off_fill = jax.lax.cummax(
+        jnp.zeros((cap,), jnp.int32).at[
+            jnp.clip(start_c, 0, cap - 1)].max(offset_t, mode="drop"))
+    riota = jnp.arange(cap, dtype=jnp.int32)
+    vjp_gid = jnp.where(riota < n_surv, gid_s,
+                        jnp.int32(counts.shape[0]))
+    vjp_pos = jnp.minimum(riota + off_fill, cap_padded - 1)
     return BinnedTiles(padded_gid=padded_gid, row_valid=row_valid,
                        starts=starts, ends=ends, total=total,
                        gid_cum=gid_cum, chunk_tile=chunk_tile,
-                       padded_total=padded_total)
+                       padded_total=padded_total,
+                       vjp_gid=vjp_gid, vjp_pos=vjp_pos)

@@ -811,13 +811,14 @@ def _pack_rows(table, gid, valid):
 
 
 @jax.custom_vjp
-def _pack_seg(table, gid, valid, gid_cum):
+def _pack_seg(table, gid, valid, gid_cum, vjp_gid, vjp_pos):
     return _pack_rows(table, gid, valid)
 
 
-def _pack_seg_fwd(table, gid, valid, gid_cum):
+def _pack_seg_fwd(table, gid, valid, gid_cum, vjp_gid, vjp_pos):
     n = table.shape[0] - 8                   # real Gaussian count
-    return _pack_rows(table, gid, valid), (gid, valid, gid_cum, n)
+    return (_pack_rows(table, gid, valid),
+            (vjp_gid, vjp_pos, gid_cum, n))
 
 
 def _pack_seg_bwd(res, ddup):
@@ -846,13 +847,17 @@ def _pack_seg_bwd(res, ddup):
     cancellation error (~eps * |prefix| / |run sum|) is orders below
     the fp32 tolerance the gradient-parity tests hold.
     """
-    gid, valid, gid_cum, n = res
-    cap = gid.shape[0]
-    # padding rows already carry the sentinel id n — they sort last
-    key = gid.astype(jnp.int32)
-    _, perm = jax.lax.sort(
-        (key, jnp.arange(cap, dtype=jnp.int32)), num_keys=1, is_stable=True)
-    g = ddup.T[perm]                                            # [cap, 16]
+    vjp_gid, vjp_pos, gid_cum, n = res
+    cap = vjp_gid.shape[0]
+    # padding rows already carry the sentinel id n — they sort last.
+    # vjp_pos rides the sort as the value operand: the one row-gather
+    # below then reads the (possibly larger, alignment-padded) grad
+    # buffer directly, so the sort/cumsum/gather domain is the COMPACT
+    # row count, not the padded one (round 4: -27%% rows).
+    _, pos_s = jax.lax.sort(
+        (vjp_gid.astype(jnp.int32), vjp_pos.astype(jnp.int32)),
+        num_keys=1, is_stable=True)
+    g = ddup.T[pos_s]                                           # [cap, 16]
     cs = jnp.cumsum(g, axis=0)
     bound = jnp.clip(gid_cum - 1, 0, cap - 1)
     # gid_cum == 0 (all leading runs empty) would clip bound to row 0 and
@@ -865,14 +870,14 @@ def _pack_seg_bwd(res, ddup):
     # cotangent must match the [N + 8, 16] sentinel-padded table
     dtable = jnp.concatenate(
         [dtable, jnp.zeros((8, dtable.shape[1]), dtable.dtype)], axis=0)
-    return dtable, None, None, None
+    return dtable, None, None, None, None, None
 
 
 _pack_seg.defvjp(_pack_seg_fwd, _pack_seg_bwd)
 
 
 def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int,
-             gid_cum=None):
+             gid_cum=None, vjp_gid=None, vjp_pos=None):
     """Gather per-duplicate rows into the [16, cap] kernel layout.
 
     ONE [N, 16] row-gather + transpose instead of 13 separate [cap]
@@ -898,7 +903,12 @@ def pack_dup(mean2d, conic, alpha, feats, gid, valid, cap: int,
     # broke gather fusion and doubled its cost
     gid = jnp.where(valid, jnp.minimum(gid, n), n)
     if gid_cum is not None:
-        return _pack_seg(table, gid, valid, gid_cum)
+        if vjp_gid is None:
+            # compact-domain maps not provided: aggregate over the full
+            # slot domain (identical to the round-3 behavior)
+            vjp_gid = gid
+            vjp_pos = jnp.arange(gid.shape[0], dtype=jnp.int32)
+        return _pack_seg(table, gid, valid, gid_cum, vjp_gid, vjp_pos)
     return _pack_rows(table, gid, valid)
 
 
@@ -956,7 +966,8 @@ def rasterize_tiles_pallas(
         assert cap % chunk == 0
 
         dup = pack_dup(mean2d, conic, alpha, feats, bins.padded_gid,
-                       bins.row_valid, cap, gid_cum=bins.gid_cum)
+                       bins.row_valid, cap, gid_cum=bins.gid_cum,
+                       vjp_gid=bins.vjp_gid, vjp_pos=bins.vjp_pos)
         counts = bins.ends - bins.starts
         nchunks = (counts + chunk - 1) // chunk
         core = _make_core(n_tiles, n_tiles_w, tile_size, chunk, F, cap,
