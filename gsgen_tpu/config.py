@@ -156,7 +156,19 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     data_d.setdefault("max_steps", tcfg.max_steps)
     data_cfg = _from_dict(CameraSamplerConfig, data_d)
 
-    init_cfg = _from_dict(InitConfig, cfg.get("init", {}))
+    # prior-specific init keys (checkpoint paths, sampler knobs) ride the
+    # same `init:` block as the reference's conf/base.yaml but are not
+    # InitConfig fields — split them off before the typo check
+    _INIT_PASSTHROUGH = {
+        "z_scale", "random_exceed", "seed", "point_e_base",
+        "point_e_upsample", "clip_model_dir", "karras_steps",
+        "shap_e_decoder", "shap_e_text300m", "shap_e_latent", "grid_size",
+        "mesh", "flip_yz", "flip_xy", "ckpt_path", "image",
+        "point_e_image_base", "clip_vision_dir"}
+    init_d = dict(cfg.get("init", {}))
+    init_extra = {k: init_d.pop(k) for k in list(init_d)
+                  if k in _INIT_PASSTHROUGH}
+    init_cfg = _from_dict(InitConfig, init_d)
 
     prompt_d = dict(cfg.get("prompt", {}))
     g_d = dict(cfg.get("guidance", {}))
@@ -210,15 +222,51 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
                 [prompt_d.get("prompt", "")])[0])
         aux_guidance = PointEAuxGuidance(acfg, cond_vec=cond_vec)
 
-    init_points = init_colors = None
+    init_points = init_colors = init_raw = None
     if init_cfg.type == "point_cloud":
         from .priors import load_point_cloud
         init_points, init_colors = load_point_cloud(cfg["init_asset"])
+    elif init_cfg.type == "mesh":
+        # area-weighted even surface sampling (reference
+        # mesh_initlization, utils/initialize.py:285-333)
+        from .priors import mesh_init_arrays
+        init_points, init_colors = mesh_init_arrays(
+            init_extra["mesh"], num_points=init_cfg.num_points,
+            mean_std=init_cfg.mean_std,
+            flip_yz=init_extra.get("flip_yz", False),
+            flip_xy=init_extra.get("flip_xy", False),
+            seed=init_extra.get("seed", 0))
+        init_cfg = dataclasses.replace(init_cfg, type="point_cloud")
+    elif init_cfg.type == "ckpt":
+        # fresh-run init from a trained scene's raw params (reference
+        # from_ckpt, utils/initialize.py:335-356) — NOT full resume
+        from .io.checkpoint import scene_arrays_from_checkpoint
+        init_raw = scene_arrays_from_checkpoint(init_extra["ckpt_path"])
+    elif init_cfg.type == "point_e_image":
+        # image-conditioned Point-E (reference point_e_image_initialize,
+        # utils/initialize.py:410-439): grid-conditioned base +
+        # upsampler, CFG 3.0 both stages
+        from .priors import point_e_image_init_arrays
+        image = init_extra.get("image") or (cfg.get("image") or {}).get(
+            "path")
+        assert image, "init.type=point_e_image needs init.image (or " \
+            "image.path for the sit3d mode)"
+        init_points, init_colors = point_e_image_init_arrays(
+            image, num_points=init_cfg.num_points,
+            mean_std=init_cfg.mean_std, facex=init_cfg.facex,
+            seed=init_extra.get("seed", 0),
+            base_weights=init_extra.get("point_e_image_base"),
+            upsample_weights=init_extra.get("point_e_upsample"),
+            clip_model_dir=init_extra.get("clip_vision_dir"),
+            karras_steps=tuple(init_extra.get("karras_steps", (64, 64))))
+        # facex already applied to the arrays; don't re-rotate
+        init_cfg = dataclasses.replace(init_cfg, type="point_cloud",
+                                       facex=False)
     elif init_cfg.type in ("point_e", "shap_e"):
         # generative 3D prior at trainer init (reference
         # utils/initialize.py:110-228): asset cache or the in-process
         # two-stage point-e diffusion sampler
-        init_d = dict(cfg.get("init", {}))
+        init_d = dict(init_extra)
         prompt_text = cfg.get("prompt", {}).get("prompt", "")
         if init_cfg.type == "point_e":
             from .priors import point_e_init_arrays
@@ -244,7 +292,7 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
                 latent_path=init_d.get("shap_e_latent"),
                 clip_model_dir=init_d.get("clip_model_dir"),
                 grid_size=init_d.get("grid_size", 128))
-        if init_d.get("random_color", False):
+        if cfg.get("init", {}).get("random_color", False):
             init_colors = None       # fall through to random colors
         init_cfg = dataclasses.replace(init_cfg, type="point_cloud")
 
@@ -298,7 +346,8 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     trainer = Trainer(cfg=tcfg, rcfg=rcfg, init_cfg=init_cfg, bg_cfg=bg_cfg,
                       data_cfg=data_cfg, guidance=guidance, dcfg=dcfg,
                       pcfg=pcfg, init_points=init_points,
-                      init_colors=init_colors, aux_guidance=aux_guidance,
+                      init_colors=init_colors, init_raw=init_raw,
+                      aux_guidance=aux_guidance,
                       prompt_processor=prompt_processor, logger=logger,
                       **extra)
     if img_d:

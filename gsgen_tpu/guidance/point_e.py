@@ -73,6 +73,18 @@ BASE40M_TEXTVEC = PointEConfig()
 TINY_POINT_E = PointEConfig(n_ctx=32, width=32, layers=2, heads=2,
                             clip_feature_dim=16)
 
+# image-conditioned base family (point_e/models/configs.py:53-88,
+# name=CLIPImageGridPointDiffusionTransformer): conditioning is the CLIP
+# ViT-L/14 GRID (width 1024, 16x16 = 256 patch tokens), clip_feature_dim
+# here = the grid token dim
+BASE40M_IMAGE = PointEConfig(clip_feature_dim=1024)
+BASE300M = PointEConfig(width=1024, layers=24, heads=16,
+                        clip_feature_dim=1024)
+BASE1B = PointEConfig(width=2048, layers=24, heads=32,
+                      clip_feature_dim=1024)
+TINY_POINT_E_GRID = PointEConfig(n_ctx=32, width=32, layers=2, heads=2,
+                                 clip_feature_dim=16)
+
 
 class PointEMLP(nn.Module):
     width: int
@@ -229,6 +241,79 @@ class PointEModel:
             cond = jnp.mean(cond, axis=1)
             if cond.shape[-1] != self.cfg.clip_feature_dim:
                 cond = None
+        return self.module.apply(params, x, t, cond)
+
+
+class PointDiffusionTransformerGrid(nn.Module):
+    """CLIPImageGridPointDiffusionTransformer (point_e transformer.py:
+    290-355): conditioning is the full CLIP ViT patch grid — LayerNorm +
+    Linear projected (torch ``nn.Sequential`` -> keys clip_embed.{0,1}),
+    ALL L tokens prepended after the time token; unlike the textvec
+    model there is NO sqrt(dim) rescale and the uncond CFG branch is an
+    all-zero grid (sampler.py:133-135)."""
+
+    cfg: PointEConfig
+
+    def setup(self):
+        c = self.cfg
+        self.time_embed = PointEMLP(c.width)
+        self.clip_embed_0 = nn.LayerNorm()
+        self.clip_embed_1 = nn.Dense(c.width)
+        self.ln_pre = nn.LayerNorm()
+        self.backbone = PointEBackbone(c.width, c.heads, c.layers)
+        self.ln_post = nn.LayerNorm()
+        self.input_proj = nn.Dense(c.width)
+        self.output_proj = nn.Dense(
+            c.output_channels, kernel_init=nn.initializers.zeros,
+            bias_init=nn.initializers.zeros)
+
+    def __call__(self, x, t, embeddings):
+        """x [B, C, N]; t [B]; embeddings [B, L, D] grid tokens (zeros =
+        uncond).  Token order matches _forward_with_cond with
+        cond=[(t_embed, True), (clip_embed, True)] (transformer.py:354)."""
+        c = self.cfg
+        t_embed = self.time_embed(
+            point_e_timestep_embedding(t, c.width))
+        clip_tok = self.clip_embed_1(self.clip_embed_0(embeddings))
+        h = self.input_proj(jnp.swapaxes(x, 1, 2))   # NCL -> NLC
+        h = jnp.concatenate([t_embed[:, None], clip_tok, h], axis=1)
+        h = self.ln_pre(h)
+        h = self.backbone(h)
+        h = self.ln_post(h)
+        h = h[:, 1 + clip_tok.shape[1]:]
+        h = self.output_proj(h)
+        return jnp.swapaxes(h, 1, 2)                 # NLC -> NCL
+
+
+class PointEImageGridModel:
+    """Image-grid-conditioned base model wrapper (base40M/base300M/
+    base1B equivalents) with the sampler-facing ``apply`` seam; ``cond``
+    is the [B, L, D] CLIP grid from
+    :meth:`gsgen_tpu.prompt.clip_vision.CLIPImageGridEncoder`."""
+
+    def __init__(self, cfg: PointEConfig = TINY_POINT_E_GRID,
+                 key: Optional[jax.Array] = None, grid_tokens: int = 256):
+        self.cfg = cfg
+        self.grid_tokens = grid_tokens
+        self.module = PointDiffusionTransformerGrid(cfg)
+        key = key if key is not None else jax.random.PRNGKey(0)
+        x = jnp.zeros((1, cfg.input_channels, cfg.n_ctx))
+        emb = jnp.zeros((1, grid_tokens, cfg.clip_feature_dim))
+        self.params = self.module.init(key, x, jnp.zeros((1,)), emb)
+
+    def load_weights(self, path_or_state):
+        from .convert import load_safetensors, torch_state_to_flax
+        state = (load_safetensors(path_or_state)
+                 if isinstance(path_or_state, str) else path_or_state)
+        state = {k: v for k, v in state.items()
+                 if not k.startswith("clip.")}
+        self.params = torch_state_to_flax(state, self.params)
+        return self
+
+    def apply(self, params, x, t, cond=None, **_):
+        if cond is None:
+            cond = jnp.zeros((x.shape[0], self.grid_tokens,
+                              self.cfg.clip_feature_dim))
         return self.module.apply(params, x, t, cond)
 
 

@@ -82,6 +82,47 @@ def load_checkpoint(path, state_template) -> Tuple[Any, int]:
     return state, int(meta["step"])
 
 
+def scene_arrays_from_checkpoint(path) -> Dict[str, np.ndarray]:
+    """Raw scene param arrays (ACTIVE rows only) from a checkpoint.
+
+    The ``init.type=ckpt`` fresh-run path (reference from_ckpt,
+    utils/initialize.py:335-356 dispatched at :495): unlike full resume
+    (``Trainer.load``, which restores the whole train state including
+    optimizer moments into an identically-shaped template), this pulls
+    ONLY the Gaussian fields so a NEW run — new capacity, new guidance,
+    new schedules — can start from a trained scene.  Returned arrays are
+    raw (pre-activation), compacted to the active slots; keys: mean,
+    qvec, svec, color, alpha (+ specular/normal when present).
+    """
+    d = Path(path)
+    if not (d / "arrays.npz").exists():
+        steps = sorted(d.glob("step_*"),
+                       key=lambda p: int(p.name.split("_")[1]))
+        assert steps, f"no checkpoints under {d}"
+        d = steps[-1]
+    data = np.load(d / "arrays.npz")
+
+    def find(field):
+        for key in data.files:
+            parts = [p.strip(".") for p in key.split("/")]
+            if ("scene" in parts and parts[-1] == field
+                    and ("params" in parts or field == "active")):
+                return data[key]
+        return None
+
+    active = find("active")
+    out = {}
+    for field in ("mean", "qvec", "svec", "color", "alpha",
+                  "specular", "normal"):
+        arr = find(field)
+        if arr is None:
+            continue
+        out[field] = arr[active] if active is not None else arr
+    assert "mean" in out, \
+        f"{d} does not look like a trainer checkpoint (no scene params)"
+    return out
+
+
 def latest_checkpoint(ckpt_dir) -> Optional[str]:
     d = Path(ckpt_dir)
     if not d.exists():

@@ -25,7 +25,10 @@ from .scene import RenderConfig, SceneState, make_scene
 class InitConfig:
     """Mirrors conf/base.yaml:27-37 + utils/initialize.py arg shapes."""
 
-    type: str = "base"         # base|unisphere|semisphere|box|unbounded|point_cloud
+    type: str = "base"         # base|unisphere|semisphere|box|unbounded|
+                               # point_cloud|ckpt (mesh / point_e /
+                               # shap_e / point_e_image resolve to
+                               # point_cloud arrays in config.py)
     num_points: int = 4096
     mean_std: float = 0.6      # blob std / sphere radius / box half-side
     svec_val: float = 0.02
@@ -65,10 +68,28 @@ def _box_points(key, n, half):
 def initialize(key: jax.Array, cfg: InitConfig,
                render_cfg: RenderConfig,
                points: Optional[np.ndarray] = None,
-               colors: Optional[np.ndarray] = None) -> SceneState:
+               colors: Optional[np.ndarray] = None,
+               raw_values: Optional[dict] = None) -> SceneState:
     """Build an initialized SceneState (utils/initialize.py:485-510 dispatch)."""
     k_pos, k_col, k_misc = jax.random.split(key, 3)
     n = cfg.num_points
+
+    if cfg.type == "ckpt":
+        # fresh-run init from a checkpoint's RAW scene params (reference
+        # from_ckpt, utils/initialize.py:335-356): a NEW run (new
+        # capacity / guidance / schedules) starts from a trained scene;
+        # unlike full resume nothing else (optimizer, step) carries over
+        assert raw_values is not None, \
+            "ckpt init needs raw_values (io.checkpoint." \
+            "scene_arrays_from_checkpoint)"
+        mean = jnp.asarray(raw_values["mean"], jnp.float32)
+        return make_scene(
+            mean,
+            jnp.asarray(raw_values["qvec"], jnp.float32),
+            jnp.asarray(raw_values["svec"], jnp.float32),
+            jnp.asarray(raw_values["color"], jnp.float32),
+            jnp.asarray(raw_values["alpha"], jnp.float32),
+            render_cfg, capacity=cfg.capacity or mean.shape[0], raw=True)
 
     if cfg.type == "base":
         mean = jax.random.normal(k_pos, (n, 3)) * cfg.mean_std

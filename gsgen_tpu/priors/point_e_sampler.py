@@ -231,6 +231,11 @@ class PointESamplerConfig:
     s_churn: Tuple[float, float] = (3.0, 0.0)
     schedules: Tuple[str, str] = ("cosine", "linear")
     num_timesteps: int = 1024
+    # image pipeline (utils/point_e_helper.py:85-92): BOTH stages take
+    # the CLIP grid and BOTH run CFG 3.0 (the text pipeline leaves the
+    # upsampler unconditional/unguided)
+    up_guidance_scale: float = 0.0
+    up_cond: bool = False
 
 
 class PointESampler:
@@ -259,10 +264,15 @@ class PointESampler:
             cfg.num_timesteps, base_model.cfg.input_channels)
         if upsampler is not None:
             self._sample_up, self._smax1 = make_stage_sampler(
+                # sampler cond convention is [B, L, D] grid tokens; the
+                # upsampler module mirrors the torch reference's
+                # channels-first [B, D, L] (transformer.py:493)
                 lambda p, x, t, cond=None, low_res=None:
-                    upsampler.apply(p, x, t, low_res=low_res),
+                    upsampler.apply(p, x, t, low_res=low_res,
+                                    embeddings=(jnp.swapaxes(cond, 1, 2)
+                                                if cfg.up_cond else None)),
                 cfg.karras_steps[1], cfg.sigma_min[1], cfg.sigma_max[1],
-                cfg.s_churn[1], 0.0, cfg.schedules[1],
+                cfg.s_churn[1], cfg.up_guidance_scale, cfg.schedules[1],
                 cfg.num_timesteps, upsampler.cfg.input_channels)
 
     def sample(self, key: jax.Array, textvec: Optional[jax.Array],
@@ -277,7 +287,12 @@ class PointESampler:
         if textvec.ndim == 1:
             textvec = jnp.broadcast_to(textvec[None],
                                        (batch_size, textvec.shape[0]))
-        # CFG doubling: [cond; zeros] (sampler.py:133-135)
+        if textvec.ndim == 2 and textvec.shape[0] != batch_size:
+            # a [L, D] CLIP grid for one image: add the batch dim
+            textvec = jnp.broadcast_to(
+                textvec[None], (batch_size,) + textvec.shape)
+        # CFG doubling: [cond; zeros] (sampler.py:133-135) — works for
+        # [B, F] text vectors and [B, L, D] image grids alike
         cond2 = jnp.concatenate([textvec, jnp.zeros_like(textvec)], axis=0)
 
         x_T = jax.random.normal(k0, (batch_size, C, N0)) * self._smax0
@@ -289,7 +304,8 @@ class PointESampler:
 
         N1 = self.up.cfg.n_ctx
         x_T = jax.random.normal(k2, (batch_size, C, N1)) * self._smax1
-        up_scaled = self._sample_up(self.up.params, x_T, None, base, k3)
+        up_cond = cond2 if self.cfg.up_cond else None
+        up_scaled = self._sample_up(self.up.params, x_T, up_cond, base, k3)
         up = _unscale(up_scaled)
         # final cloud = [low_res | upsampled] (sampler.py:164-168)
         return jnp.concatenate([base, up], axis=-1)

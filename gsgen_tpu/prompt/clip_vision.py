@@ -99,6 +99,15 @@ class CLIPVisionTransformer(nn.Module):
         x = self.encoder(x, jnp.zeros((1, 1, 1, 1), jnp.float32))
         return self.post_layernorm(x[:, 0])             # pooled CLS
 
+    def grid_features(self, pixels):
+        """All patch tokens WITHOUT the final layernorm — the Point-E
+        image-grid conditioning (point_e pretrained_clip.py:177-214
+        embed_images_grid runs the visual transformer and returns
+        x[..., 1:] before ln_post).  -> [B, L, D]."""
+        x = self.pre_layrnorm(self.embeddings(pixels))
+        x = self.encoder(x, jnp.zeros((1, 1, 1, 1), jnp.float32))
+        return x[:, 1:]
+
 
 class CLIPVisionModelWithProjection(nn.Module):
     """Projected pooled image embedding (transformers
@@ -114,6 +123,9 @@ class CLIPVisionModelWithProjection(nn.Module):
 
     def __call__(self, pixels):
         return self.visual_projection(self.vision_model(pixels))
+
+    def grid_features(self, pixels):
+        return self.vision_model.grid_features(pixels)
 
 
 def load_clip_vision(state_dict, cfg: CLIPVisionConfig,
@@ -159,3 +171,15 @@ class CLIPImageEncoder:
         emb = self.module.apply(params, x)
         return emb / jnp.maximum(
             jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-8)
+
+    def encode_grid(self, params, imgs):
+        """[B, H, W, 3] in [0,1] -> [B, L, D] CLIP patch-grid tokens for
+        Point-E image conditioning.  Resize is bicubic (the OpenAI CLIP
+        preprocess uses BICUBIC; the reference feeds PIL images through
+        it, pretrained_clip.py:216-217)."""
+        B = imgs.shape[0]
+        x = jax.image.resize(imgs, (B, self.reso, self.reso, 3), "cubic")
+        mean = jnp.asarray(CLIP_IMAGE_MEAN)
+        std = jnp.asarray(CLIP_IMAGE_STD)
+        x = (x - mean) / std
+        return self.module.apply(params, x, method="grid_features")

@@ -122,6 +122,7 @@ class Trainer:
                  pcfg: PruneConfig = PruneConfig(),
                  init_points: Optional[np.ndarray] = None,
                  init_colors: Optional[np.ndarray] = None,
+                 init_raw: Optional[Dict[str, np.ndarray]] = None,
                  prompt_processor: Optional[Any] = None,
                  image_target: Optional[Any] = None,    # sit3d ImageTarget
                  aux_guidance: Optional[Any] = None,    # PointEAuxGuidance
@@ -167,7 +168,8 @@ class Trainer:
         key = jax.random.PRNGKey(cfg.seed)
         k_init, k_bg, k_state = jax.random.split(key, 3)
         scene = initialize(k_init, init_cfg, rcfg,
-                           points=init_points, colors=init_colors)
+                           points=init_points, colors=init_colors,
+                           raw_values=init_raw)
         bg = init_background(k_bg, bg_cfg)
         gp = getattr(self.guidance, "trainable_params", {})
         opt = adam_init((scene.params, bg, gp))
