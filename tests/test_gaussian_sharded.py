@@ -85,6 +85,152 @@ def test_gradients_reduce_scatter(mesh, scene):
     assert got.mean.sharding.spec == P("gauss")
 
 
+def test_full_sharded_train_step(mesh, scene):
+    """End-to-end exercise of the docstring's memory claim: render ->
+    reduce-scattered grads -> Adam update with SHARDED moments ->
+    shard-local densify -> second render.  Params, moments and the
+    post-densify state all stay P('gauss'); numerics match the same
+    sequence run replicated on one logical device."""
+    from jax.experimental.shard_map import shard_map
+
+    from gsgen_tpu.models.density import DensifyConfig, densify
+    from gsgen_tpu.parallel.gaussian_sharded import (
+        gaussian_sharded_train_step)
+    from gsgen_tpu.training.optimizer import adam_init, adam_update
+
+    intr = CameraIntrinsics.from_reso(128)
+    bg = jnp.ones((3,), jnp.float32)
+
+    # ---- replicated oracle: same loss, same Adam hyperparams ----
+    def loss_rep(params):
+        out = render_view(params, scene.active, C2W, intr, RCFG, bg)
+        return jnp.mean(out["rgb"] ** 2) + jnp.mean(out["T"])
+
+    l_want, g_want = jax.value_and_grad(loss_rep)(scene.params)
+    p_want, o_want = adam_update(
+        g_want, adam_init(scene.params), scene.params, jnp.float32(1e-2))
+
+    # ---- sharded path ----
+    st = shard_scene(scene, mesh)
+    opt = shard_scene(adam_init(st.params), mesh)
+    step = gaussian_sharded_train_step(mesh, intr, RCFG)
+    p2, o2, l_got = step(st.params, st.active, opt, C2W, bg)
+    jax.block_until_ready(p2)
+
+    assert float(l_got) == pytest.approx(float(l_want), rel=1e-6)
+    for name in ("mean", "qvec", "svec", "color", "alpha"):
+        # Adam with eps=1e-15 is ~sign(g): where the true grad is ~0,
+        # fp-noise differences between the two schedules flip the step
+        # to the other side — compare params only where the grad is
+        # meaningful, and bound the step size elsewhere
+        gw = np.asarray(getattr(g_want, name))
+        a = np.asarray(getattr(p2, name))
+        b = np.asarray(getattr(p_want, name))
+        sig = np.abs(gw) > 1e-6
+        np.testing.assert_allclose(a[sig], b[sig], rtol=1e-4, atol=1e-6,
+                                   err_msg=name)
+        np.testing.assert_array_less(
+            np.abs(a - np.asarray(getattr(scene.params, name))),
+            1.01e-2, err_msg=name)          # |step| <= lr everywhere
+        # the moments really live sharded — never replicated
+        assert getattr(o2.mu, name).sharding.spec == P("gauss"), name
+        assert getattr(o2.nu, name).sharding.spec == P("gauss"), name
+        np.testing.assert_allclose(
+            np.asarray(getattr(o2.mu, name)),
+            np.asarray(getattr(o_want.mu, name)), rtol=1e-4, atol=1e-8)
+    assert p2.mean.sharding.spec == P("gauss")
+
+    # ---- shard-local densify on the updated state, then render again
+    # under the SAME sharded placement ----
+    order = jnp.asarray(np.arange(512).reshape(2, 256).T.ravel())
+    st_up = scene._replace(params=p2,
+                           grad_accum=jnp.ones(512) * 10.0,
+                           grad_cnt=jnp.ones(512))
+    perm = jax.tree_util.tree_map(
+        lambda x: x[order] if getattr(x, "ndim", 0) >= 1 else x, st_up)
+    st_d = shard_scene(perm, mesh)
+    opt_d = shard_scene(jax.tree_util.tree_map(
+        lambda x: x[order] if getattr(x, "ndim", 0) >= 1 else x, o2), mesh)
+    dcfg = DensifyConfig(mean2d_thresh=0.01, split_thresh=0.01,
+                         use_legacy=True)
+
+    def body(state, opt):
+        s2, o3, info = densify(state, opt, dcfg, RCFG, jax.random.PRNGKey(1))
+        return s2, o3, info["num_split"][None]
+
+    def spec_tree(tree):
+        return jax.tree_util.tree_map(
+            lambda x: P("gauss") if getattr(x, "ndim", 0) >= 1 else P(),
+            tree)
+
+    s3, o3, nsplit = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=(spec_tree(st_d), spec_tree(opt_d)),
+        out_specs=(spec_tree(st_d), spec_tree(opt_d), P("gauss")),
+        check_rep=False))(st_d, opt_d)
+    assert int(jnp.sum(nsplit)) > 0
+    assert s3.params.mean.sharding.spec == P("gauss")
+    assert o3.mu.mean.sharding.spec == P("gauss")
+
+    # second render from the densified sharded state: finite + matches
+    # the same state rendered replicated
+    want2 = render_view(jax.device_get(s3.params),
+                        np.asarray(s3.active), C2W, intr, RCFG, bg)
+    got2 = jax.jit(lambda p, a: render_view_gaussian_sharded(
+        p, a, C2W, intr, RCFG, bg, mesh))(s3.params, s3.active)
+    np.testing.assert_allclose(np.asarray(got2["rgb"]),
+                               np.asarray(want2["rgb"]),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_gauss_tile_2d_mesh(scene):
+    """gauss x tile 2-D composition: params sharded over gauss only,
+    image rows over BOTH axes; grads reduce-scatter over gauss + psum
+    over tile — parity with the replicated render and grad."""
+    from gsgen_tpu.parallel.gaussian_sharded import (
+        render_view_gauss_tile_sharded)
+
+    mesh2 = Mesh(np.array(jax.devices()[:8]).reshape(2, 4),
+                 ("gauss", "tile"))
+    intr = CameraIntrinsics.from_reso(128)
+    bg = jnp.ones((3,), jnp.float32)
+
+    want = render_view(scene.params, scene.active, C2W, intr, RCFG, bg,
+                       rgb_only=True)
+    sh = jax.sharding.NamedSharding(mesh2, P("gauss"))
+    p_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sh) if getattr(x, "ndim", 0) >= 1
+        else x, scene.params)
+    a_sh = jax.device_put(scene.active, sh)
+
+    got = jax.jit(lambda p, a: render_view_gauss_tile_sharded(
+        p, a, C2W, intr, RCFG, bg, mesh2))(p_sh, a_sh)
+    np.testing.assert_allclose(np.asarray(got["rgb"]),
+                               np.asarray(want["rgb"]),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got["T"]),
+                               np.asarray(want["T"]),
+                               rtol=1e-6, atol=1e-6)
+
+    def loss_rep(params):
+        out = render_view(params, scene.active, C2W, intr, RCFG, bg,
+                          rgb_only=True)
+        return jnp.mean(out["rgb"] ** 2)
+
+    def loss_sh(params, active):
+        out = render_view_gauss_tile_sharded(params, active, C2W, intr,
+                                             RCFG, bg, mesh2)
+        return jnp.mean(out["rgb"] ** 2)
+
+    g_want = jax.grad(loss_rep)(scene.params)
+    g_got = jax.jit(jax.grad(loss_sh))(p_sh, a_sh)
+    for name in ("mean", "qvec", "svec", "color", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(g_got, name)),
+            np.asarray(getattr(g_want, name)), rtol=1e-5, atol=1e-7,
+            err_msg=name)
+    assert g_got.mean.sharding.spec == P("gauss")
+
+
 def test_composes_with_densify(mesh, scene):
     """Shard-local densify: run the functional densify on each shard via
     shard_map — slot allocation needs no cross-shard communication."""
