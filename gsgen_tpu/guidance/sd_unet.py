@@ -86,15 +86,19 @@ class SDUNetBackbone:
             cls = jnp.zeros((1, cfg.class_embed_proj_dim))
         else:
             cls = None
-        params = {"unet": self.unet.init(k1, x, jnp.zeros((1,)), ctx,
-                                         class_labels=cls)}
+        # init under ONE jit: eager flax init compiles every param
+        # initializer as its own pjit (~400 compiles, ~35 s on CPU even
+        # for the tiny preset); a single jitted init is one cacheable
+        # executable
+        params = {"unet": jax.jit(self.unet.init)(
+            k1, x, jnp.zeros((1,)), ctx, class_labels=cls)}
         if self.vae is not None:
             # full autoencode touches encoder+decoder+both quant convs;
             # param shapes are resolution-independent, so init on a
             # small dummy regardless of image_size
             down = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
             dummy = max(4 * down, 16)
-            params["vae"] = self.vae.init(
+            params["vae"] = jax.jit(self.vae.init)(
                 k2, jnp.zeros((1, dummy, dummy, 3)))
         self.params = params
 

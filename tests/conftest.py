@@ -53,11 +53,23 @@ _SLOW_MODULES = {
     "test_upsampler",        # IF-II-style diffusion upsampler
     "test_sit3d",            # image-to-3D training loops
     "test_unet_oracle",      # independent torch UNet implementation
+    "test_shap_e",           # shap-e torch oracles + latent sampling
 }
 _SLOW_TESTS = {
     "test_pbr_render_and_grads",
     "test_pbr_through_trainer",
     "test_pbr_densify_carries_fields",
+    "test_estimated_normals_render",
+    "test_trainer_with_tile_mesh",
+    "test_compact_layout_matches_padded",
+    "test_compact_layout_multi_tile_windows",
+    "test_grid_transformer_matches_reference_plumbing",
+    "test_image_sampler_end_to_end_tiny",
+    "test_tile_sharded_gradients_psum",
+    "test_full_sharded_train_step",
+    "test_gauss_tile_2d_mesh",
+    "test_aabb_covers_rendered_support_subpixel",
+    "test_pallas_backward_with_early_exit_grads",
     "test_pressure_scene_gradients",
     "test_one_gaussian_center_peak",
     "test_grid_scene_coverage",

@@ -86,18 +86,19 @@ def test_rehearsal_mock(tmp_path):
 
     from gsgen_tpu.tools.rehearsal import build_rehearsal_config, run
 
-    cfg = build_rehearsal_config("a corgi", steps=4, mock=True, reso=64,
-                                 num_points=64, capacity=128, batch_size=2)
-    # shrink heavy knobs for CPU
-    cfg["renderer"]["dup_cap"] = 4096
+    cfg = build_rehearsal_config("a corgi", steps=2, mock=True, reso=32,
+                                 num_points=32, capacity=64, batch_size=1)
+    # shrink heavy knobs for CPU (the point is config-assembly drift,
+    # not scale — pinned in the FAST tier per the round-3 verdict)
+    cfg["renderer"]["dup_cap"] = 2048
     cfg["renderer"]["chunk"] = 32
     cfg["renderer"]["densify"]["enabled"] = False
-    losses = run(cfg, tmp_path, eval_every=4, eval_reso=32,
+    losses = run(cfg, tmp_path, eval_every=2, eval_reso=32,
                  log=lambda *a: None)
-    assert len(losses) == 4 and all(np.isfinite(losses))
+    assert len(losses) == 2 and all(np.isfinite(losses))
     lines = [json.loads(l) for l in
              (tmp_path / "scalars.jsonl").read_text().splitlines()]
-    assert len(lines) == 4
+    assert len(lines) == 2
     evals = list(tmp_path.glob("eval_*"))
     assert evals, "no eval image written"
 
