@@ -104,6 +104,16 @@ class CameraPoseProvider:
     def focal_bound(self):
         return self.focal[bisect.bisect(self.focal_milestones, self.step) - 1]
 
+    def next_reso_change(self, step: int):
+        """(milestone_step, reso_after) of the NEXT curriculum switch
+        after ``step``, or None — lets the trainer compile the next
+        resolution's executable ahead of the milestone (round-4 c2f
+        soak: each un-prewarmed reso switch stalled ~30 s)."""
+        i = bisect.bisect(self.reso_milestones, step)
+        if i >= len(self.reso_milestones):
+            return None
+        return self.reso_milestones[i], self.cfg.reso[i]
+
     def intrinsics(self, reso: Optional[int] = None) -> CameraIntrinsics:
         """Static intrinsics for the current curriculum resolution; the
         actual per-sample focal jitter is passed as dynamic scalars."""

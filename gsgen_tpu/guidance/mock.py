@@ -50,8 +50,15 @@ class MockGuidance:
             assert c2ws is not None and self.target_scene is not None
             B = c2ws.shape[0]
             bgs = jnp.ones((B, 3), jnp.float32)
+            intr = self.intr
+            if intr.h != rgb.shape[1] or intr.w != rgb.shape[2]:
+                # resolution curriculum (c2f): render the target at the
+                # CURRENT train reso — per-view focal/center scalars
+                # come from the batch (fxs/cxs), so only the static
+                # pixel grid needs rebuilding
+                intr = CameraIntrinsics.from_reso(rgb.shape[1])
             outs = render_batch(self.target_scene, self.target_active, c2ws,
-                                self.intr, self.rcfg, bgs, fxs, fys, cxs, cys,
+                                intr, self.rcfg, bgs, fxs, fys, cxs, cys,
                                 rgb_only=True)
             target = jax.lax.stop_gradient(outs["rgb"])
         else:

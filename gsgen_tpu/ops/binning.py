@@ -232,8 +232,11 @@ def bin_gaussians(
     # row-gather + column slices is ~7x slower than a 3-column one (the
     # column extraction from the lane-padded (8,128)-tiled gather output
     # dominates) — so width/tl_x/tl_y ride bit-packed in ONE int32
-    # (10 bits each: images up to 16K px at tile 16), measured 4.03 ->
-    # 0.58 ms at 100K/512² (round 4)
+    # (10 bits each: tile grids up to 1023 per side = images up to
+    # ~16360 px at tile 16), measured 4.03 -> 0.58 ms at 100K/512²
+    # (round 4)
+    assert n_tiles_w <= 1023 and n_tiles_h <= 1023, \
+        "geo bit-packing supports tile grids up to 1023 per side"
     geo = width | (tl_x << 10) | (tl_y << 20)
     table = jnp.stack(
         [cum_excl, geo,

@@ -85,6 +85,9 @@ class TrainerConfig:
     # frames' observed totals (each bucket = one cached executable)
     auto_dup_bucket: bool = True
     dup_bucket_min: int = 1 << 14
+    # steps of lead before a reso milestone to compile the next reso's
+    # executables in the background (c2f curriculum; ~35 s per compile)
+    reso_prewarm_lead: int = 500
     eval_image_period: int = 100       # conf/base.yaml:36-42
     eval_video_period: int = 500
     eval_elevation: float = 45.0
@@ -458,30 +461,59 @@ class Trainer:
         def compile_it():
             import time as _t
             t0 = _t.perf_counter()
-            # bucket passed explicitly: the main thread keeps stepping on
-            # self.dup_bucket while this compiles (no shared mutation)
-            fn = self._build_step(intr, bucket=bucket)
-            compiled = fn.lower(*abstract).compile()
-            self._step_cache[key] = compiled
-            self.compile_log.append(
-                {"bucket": bucket, "prewarm_s": _t.perf_counter() - t0})
+            # one background compile at a time: concurrent compiles
+            # through the remote-compile tunnel are flaky (round-4 c2f
+            # soak: "response body closed before all bytes were read"
+            # killed a prewarm thread and the milestone then stalled
+            # the full compile time) and contend for host CPU anyway
+            with self._prewarm_lock:
+                for attempt in range(2):
+                    try:
+                        # bucket passed explicitly: the main thread keeps
+                        # stepping on self.dup_bucket (no shared mutation)
+                        fn = self._build_step(intr, bucket=bucket)
+                        compiled = fn.lower(*abstract).compile()
+                        self._step_cache[key] = compiled
+                        self.compile_log.append(
+                            {"bucket": bucket,
+                             "prewarm_s": _t.perf_counter() - t0})
+                        return
+                    except Exception as e:      # transient tunnel error
+                        err = e
+                self.compile_log.append(
+                    {"bucket": bucket, "prewarm_failed": repr(err)})
 
         import threading
+        if not hasattr(self, "_prewarm_lock"):
+            self._prewarm_lock = threading.Lock()
         t = threading.Thread(target=compile_it, daemon=True)
         self._prewarm_threads[key] = t
         t.start()
 
-    def _adjust_dup_bucket(self, n_dup_max: int):
-        """Grow on (near-)overflow, shrink when persistently oversized."""
+    def _adjust_dup_bucket(self, n_dup_max: int, intr=None):
+        """Grow on (near-)overflow, shrink when persistently oversized.
+
+        Shrinks are prewarmed like growths: the round-4 c2f soak caught
+        a 25 s stall from an UN-prewarmed shrink recompile (64² phase,
+        few duplicates).  At half streak the half bucket compiles on a
+        background thread; the shrink itself waits until that
+        executable exists — a shrink only saves memory, so deferring it
+        costs nothing.
+        """
         cap = self.dup_bucket
         if n_dup_max > 0.7 * cap:
             self.dup_bucket = cap * 2
             self._shrink_streak = 0
         elif n_dup_max < 0.15 * cap and cap > self.cfg.dup_bucket_min:
             self._shrink_streak = getattr(self, "_shrink_streak", 0) + 1
+            if self._shrink_streak >= 10 and intr is not None:
+                self._prewarm_bucket(intr, cap // 2)
             if self._shrink_streak >= 20:
-                self.dup_bucket = cap // 2
-                self._shrink_streak = 0
+                if intr is None or (intr, cap // 2) in self._step_cache:
+                    self.dup_bucket = cap // 2
+                    self._shrink_streak = 0
+                # else: hold at the current bucket until the prewarm
+                # thread lands the executable
         else:
             self._shrink_streak = 0
 
@@ -489,6 +521,17 @@ class Trainer:
     def train_step(self, step: int) -> Dict[str, float]:
         self.data.update(step)
         intr = self.data.intrinsics()
+        if getattr(self, "_last_intr", None) != intr:
+            # reso switch: jump straight onto the bucket the milestone
+            # prewarm predicted (and compiled) — staying on the old
+            # bucket would immediately overflow and stall on a fresh
+            # compile (round-4 c2f soak)
+            cand = sorted(
+                [b for (i2, b) in self._step_cache if i2 == intr]
+                + [b for (i2, b) in self._prewarm_threads if i2 == intr])
+            if cand and cand[0] > self.dup_bucket:
+                self.dup_bucket = cand[0]
+            self._last_intr = intr
         sched = {k: (jnp.int32(v) if isinstance(v, int) else jnp.float32(v))
                  for k, v in self.sched_scalars(step).items()}
         batches = [self.data.get_batch() for _ in range(self.cfg.grad_accum)]
@@ -514,7 +557,7 @@ class Trainer:
                 if hasattr(x, "shape") else x,
                 (self.state, stacked, sched, gfrozen, prev_mean))
             n_dup = int(metrics["n_dup_max"])
-            self._adjust_dup_bucket(n_dup)
+            self._adjust_dup_bucket(n_dup, intr)
             # approaching the x2 growth trigger (0.7): compile ahead.
             # 0.35 leaves a full occupancy doubling of lead time — at
             # production densify cadence (period >= 1000 steps,
@@ -522,6 +565,23 @@ class Trainer:
             # beyond the ~35 s compile (BASELINE.md round-3 table)
             if n_dup > 0.35 * self.dup_bucket:
                 self._prewarm_bucket(intr, self.dup_bucket * 2)
+            # resolution milestones are KNOWN ahead of time: compile the
+            # next reso's executable (and the bucket the duplicate count
+            # will land in — footprints scale ~(r2/r1)²) before the
+            # switch.  Round-4 c2f soak: each un-prewarmed reso switch
+            # stalled ~30 s, plus another ~30 s when the first steps at
+            # the new reso immediately overflowed the old bucket.
+            nxt = self.data.next_reso_change(step)
+            if nxt is not None and step >= nxt[0] - self.cfg.reso_prewarm_lead:
+                m_step, next_reso = nxt
+                cur_reso = self.data.reso
+                intr_next = self.data.intrinsics(reso=next_reso)
+                need = max(n_dup, 1) * (next_reso / max(cur_reso, 1)) ** 2
+                b = self.cfg.dup_bucket_min
+                while b < need:
+                    b *= 2
+                self._prewarm_bucket(intr_next, b)
+                self._prewarm_bucket(intr_next, b * 2)
         return metrics
 
     def density_step(self, step: int) -> Dict[str, Any]:

@@ -31,21 +31,38 @@ def main():
 
     milestones = (2000, 4000)
     resos = (64, 256, 512)
+    # multi-view photometric target with FINE structure (16K thin
+    # gaussians): the render can always improve, so mean2d grads — and
+    # with them densify — stay alive for the whole run (a constant-color
+    # target converges in ~100 steps and densify then sees zero stats)
+    from gsgen_tpu.models.init import initialize
+    from gsgen_tpu.ops.camera import CameraIntrinsics
+    rcfg = RenderConfig(dup_cap=1 << 15, chunk=128)
+    target = initialize(jax.random.PRNGKey(7),
+                        InitConfig(num_points=16384, svec_val=0.004,
+                                   mean_std=0.5), rcfg)
     trainer = Trainer(
-        cfg=TrainerConfig(max_steps=n_steps, batch_size=4, grad_accum=1),
-        rcfg=RenderConfig(dup_cap=1 << 15, chunk=128),
+        cfg=TrainerConfig(max_steps=n_steps, batch_size=4, grad_accum=1,
+                          # mock steps are ~50 ms: the serialized
+                          # prewarm queue (2-3 x ~35 s compiles)
+                          # needs ~2K steps of lead here
+                          reso_prewarm_lead=1200),
+        rcfg=rcfg,
         init_cfg=InitConfig(num_points=4096, capacity=65536,
                             svec_val=0.02, mean_std=0.6),
         bg_cfg=BackgroundConfig(type="random"),
         data_cfg=CameraSamplerConfig(
             batch_size=4, max_steps=n_steps, reso=resos,
             reso_milestones=milestones, camera_distance=(1.5, 2.5)),
-        guidance=MockGuidance(mode="constant_color"),
+        guidance=MockGuidance(mode="scene", target_scene=target.params,
+                              target_active=target.active,
+                              intr=CameraIntrinsics.from_reso(resos[0]),
+                              rcfg=rcfg),
         # aggressive-but-plausible thresholds so the run reaches the
         # 30-50K range the reference's production prompts see
         dcfg=DensifyConfig(enabled=True, warm_up=500, end=4200,
-                           period=500, mean2d_thresh=0.00004,
-                           split_thresh=0.02, use_legacy=False),
+                           period=500, mean2d_thresh=0.000001,
+                           split_thresh=0.01, use_legacy=False),
         pcfg=PruneConfig(enabled=True, warm_up=500, end=4200, period=1000,
                          alpha_thresh=0.005),
     )
