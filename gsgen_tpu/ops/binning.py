@@ -215,15 +215,19 @@ def bin_gaussians(
     # vectorized repeat: slot d belongs to gaussian g with
     # cum_excl[g] <= d < cum_excl[g] + counts[g].  A searchsorted here
     # costs ~130ms at 1M slots on TPU (binary search = log N serial
-    # gathers); the scatter+cumsum below computes the same monotone map
-    # in ~3ms: gid[d] = #(cum <= d) = searchsorted(cum, d, 'right').
+    # gathers); gid[d] = #(cum <= d) = searchsorted(cum, d, 'right') is
+    # computed by the block-parallel rank kernel (ops/expansion_rank.py)
+    # — the scatter+cumsum form it replaces ran at the serial scatter-
+    # engine rate (0.87 ms at 100K/512², the round-4 floor table) and
+    # survives as its lax.cond fallback.
+    from .expansion_rank import expansion_gid
+
     cum = jnp.cumsum(counts)
     total = cum[-1] if counts.size else jnp.int32(0)
     cum_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), cum[:-1]])
 
     d = jnp.arange(cap, dtype=jnp.int32)
-    marks = jnp.zeros((cap,), jnp.int32).at[cum].add(1, mode="drop")
-    gid = jnp.cumsum(marks)
+    gid = expansion_gid(cum, cap)
     slot_valid = d < total
     gid_safe = jnp.clip(gid, 0, counts.shape[0] - 1)
 

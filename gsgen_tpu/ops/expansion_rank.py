@@ -1,0 +1,161 @@
+"""Duplicate-expansion gid via a block-parallel rank kernel.
+
+The binning expansion needs, for every duplicate slot ``d``,
+
+    gid[d] = #{g : cum[g] <= d}           (= searchsorted(cum, d, 'right'))
+
+where ``cum`` is the inclusive cumsum of per-Gaussian duplicate counts.
+The production form is a 1-D scatter of N marks + a [cap] cumsum
+(``zeros(cap).at[cum].add(1)``); at the 100K/512² bench scale the
+scatter runs at the TPU's serial scatter-engine rate (~8.7 ns/update,
+0.87 ms — the round-4 floor table's largest glue op after the grad
+aggregation).  But both sides of this search are SORTED (``cum`` is
+non-decreasing, ``d`` is an iota), so the whole thing is one merge —
+embarrassingly block-parallel:
+
+* XLA precomputes, per output block of ``B`` slots, the rank window
+  ``[lo_b, hi_b)`` of cum values that can fall inside the block (one
+  tiny searchsorted over 2·n_blocks edges).
+* A Pallas grid step fetches the window with two WR-row-aligned block
+  loads + one dynamic sublane ``pltpu.roll`` (the gid_repack trick, on
+  rows instead of lanes), splits each value's local offset
+  ``q = cum[k] - base`` into sublane/lane digits
+  ``(p, m) = (q >> 7, q & 127)``, and accumulates
+
+      gid[base + 128 s + t] = lo_b + #{p_k < s} + #{p_k == s and m_k <= t}
+
+  with one broadcast-compare per window row and one 0/1 bf16 matmul on
+  the MXU for the (p == s)·(m <= t) cross term (0/1 operands make the
+  bf16 product exact; accumulation is fp32).  Block-streamed compares
+  replace serial scatter updates.
+
+Zero-count Gaussians repeat their predecessor's cum value, so a window
+can in principle hold arbitrarily many values; when any block's demand
+exceeds the static window the wrapper falls back to the scatter form
+under ``lax.cond`` (both branches compiled, one executed — correctness
+never depends on the window bound).  Reference semantics: this gid is
+the vectorized-repeat expansion mirroring gs/culling.py:29-33's
+torch.repeat_interleave (see binning.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_B = 2048          # output slots per grid step
+_WR = 32           # window rows of 128 cum values (W = 4096)
+_BIG = 1 << 30
+
+
+def _kernel(lo_ref, blk_ref, shift_ref, a_ref, b_ref, out_ref):
+    b = pl.program_id(0)
+    S = _B // 128
+    base = b * _B
+    lo = lo_ref[b]
+    row0 = blk_ref[b] * _WR + shift_ref[b]
+
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)       # [S, 1]
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (128, 1), 0)     # [128, 1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+
+    two = jnp.concatenate([a_ref[...], b_ref[...]], axis=0)       # [2WR,128]
+    vals = pltpu.roll(two, -shift_ref[b], axis=0)[:_WR, :]
+
+    acc = jnp.zeros((S, 128), jnp.float32)
+    term1 = jnp.zeros((S, 1), jnp.int32)
+    for r in range(_WR):
+        vrow = vals[r:r + 1, :]                                   # [1, 128]
+        k_global = (row0 + r) * 128 + lane
+        q = jnp.where(k_global >= lo, vrow - base, _BIG)
+        p = q >> 7
+        m = q & 127
+        # values below the window start are masked to BIG (p >= S:
+        # counted nowhere); values past base + B - 1 have p >= S too
+        m1 = (p == s_iota).astype(jnp.bfloat16)                   # [S, 128]
+        m2 = (m <= t_iota).astype(jnp.bfloat16)                   # [128,128]
+        acc = acc + jax.lax.dot_general(
+            m1, m2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # [S, 128]
+        term1 = term1 + jnp.sum((p < s_iota).astype(jnp.int32),
+                                axis=1, keepdims=True)
+    out_ref[...] = lo + term1 + acc.astype(jnp.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_call(cap: int, nrows_padded: int, interpret: bool):
+    n_blocks = cap // _B
+    S = _B // 128
+    return pl.pallas_call(
+        _kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,          # lo, blk, shift
+            grid=(n_blocks,),
+            in_specs=[
+                pl.BlockSpec((_WR, 128), lambda b, lo, blk, sh: (blk[b], 0)),
+                pl.BlockSpec((_WR, 128),
+                             lambda b, lo, blk, sh: (blk[b] + 1, 0)),
+            ],
+            out_specs=pl.BlockSpec((S, 128),
+                                   lambda b, lo, blk, sh: (b, 0))),
+        out_shape=jax.ShapeDtypeStruct((n_blocks * S, 128), jnp.int32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+    )
+
+
+def _gid_scatter(cum: jax.Array, cap: int) -> jax.Array:
+    """The serial-scatter reference form (and cond fallback)."""
+    marks = jnp.zeros((cap,), jnp.int32).at[cum].add(1, mode="drop")
+    return jnp.cumsum(marks)
+
+
+def expansion_gid(cum: jax.Array, cap: int) -> jax.Array:
+    """[N] inclusive count cumsum -> [cap] duplicate-slot gaussian ids.
+
+    Exact drop-in for ``cumsum(zeros(cap).at[cum].add(1, mode='drop'))``
+    including the mode='drop' semantics (cum values >= cap are > every
+    slot index they could mark, so they never count).
+    """
+    if cap % _B != 0 or cap < _B:
+        return _gid_scatter(cum, cap)
+    n = cum.shape[0]
+
+    n_blocks = cap // _B
+    bases = jnp.arange(n_blocks, dtype=jnp.int32) * _B
+    cum32 = cum.astype(jnp.int32)
+    lo = jnp.searchsorted(cum32, bases, side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(cum32, bases + (_B - 1),
+                          side="right").astype(jnp.int32)
+    # the rolled window starts at the 128-row FLOOR of lo, so demand
+    # must fit in W - 127 to survive the row misalignment
+    fits = jnp.max(hi - lo) <= (_WR * 128 - 128)
+
+    nrows = -(-n // 128)
+    nrows_padded = (-(-nrows // _WR) + 2) * _WR
+    pad = nrows_padded * 128 - n
+    cum2d = jnp.concatenate(
+        [cum32, jnp.full((pad,), _BIG, jnp.int32)]).reshape(
+            nrows_padded, 128)
+    row0 = lo // 128
+    blk = row0 // _WR
+    shift = row0 - blk * _WR
+
+    interpret = jax.default_backend() == "cpu"
+    call = _make_call(cap, nrows_padded, interpret)
+
+    def kernel_path(ops):
+        cum2d, lo, blk, shift = ops
+        out = call(lo, blk, shift, cum2d, cum2d)
+        return out.reshape(cap)
+
+    def scatter_path(ops):
+        return _gid_scatter(cum32, cap)
+
+    return jax.lax.cond(fits, kernel_path, scatter_path,
+                        (cum2d, lo, blk, shift))

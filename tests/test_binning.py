@@ -181,3 +181,40 @@ def test_alpha_aware_aabb_is_pixel_exact():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g0[1]), np.asarray(g1[1]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_expansion_rank_kernel_parity():
+    """The block-parallel rank kernel == the scatter+cumsum form, across
+    count distributions (zeros, pile-ups, capacity overflow) and on both
+    sides of the window-overflow lax.cond."""
+    from gsgen_tpu.ops.expansion_rank import _gid_scatter, expansion_gid
+
+    rng = np.random.default_rng(0)
+    cap = 8192
+
+    def check(counts, cap=cap):
+        cum = jnp.cumsum(jnp.asarray(counts, jnp.int32))
+        got = np.asarray(jax.jit(expansion_gid,
+                                 static_argnums=1)(cum, cap))
+        want = np.asarray(jax.jit(_gid_scatter,
+                                  static_argnums=1)(cum, cap))
+        np.testing.assert_array_equal(got, want)
+
+    # mixed small counts with many zero-count gaussians
+    check(rng.integers(0, 5, size=500) * rng.integers(0, 2, size=500))
+    # all zero (everything culled)
+    check(np.zeros(300, np.int64))
+    # single gaussian owning every slot
+    check(np.array([cap + 32]))
+    # total overflowing the capacity (mode='drop' semantics)
+    check(rng.integers(0, 9, size=4000))
+    # pathological pile-up: >4096 equal cum values in one window ->
+    # fits=False, exercises the scatter fallback branch of the cond
+    piled = np.zeros(6000, np.int64)
+    piled[0] = 7
+    check(piled)
+    # non-multiple cap: pure-XLA path
+    check(rng.integers(0, 4, size=200), cap=1000)
+    # window straddling a WR-row block boundary (lo near a multiple of
+    # 4096 values): dense 1-count gaussians push lo deep into the table
+    check(np.ones(7000, np.int64))
