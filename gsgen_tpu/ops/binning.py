@@ -319,23 +319,31 @@ def bin_gaussians(
     starts = jnp.minimum(aligned_start, cap_padded)
     ends = jnp.minimum(aligned_start + seg_len, cap_padded)
 
-    # row_valid[r] = r < end(tile-of-r): tiny-scatter + cummax trick on
-    # the padded domain
-    end_fill = jax.lax.cummax(
-        jnp.zeros((cap_padded,), jnp.int32).at[
-            jnp.clip(aligned_start, 0, cap_padded - 1)].max(
-                ends, mode="drop"))
-    row_valid = jnp.arange(cap_padded, dtype=jnp.int32) < end_fill
-
     gid_cum = gid_cum_early
     # owning tile per chunk slot: scatter each tile's id at its first
     # slot (.max resolves empty-tile collisions to the last/largest id,
     # whose chunk-count bound then rejects the slot) + cummax fill
     n_slots = cap_padded // chunk
-    chunk_tile = jax.lax.cummax(
-        jnp.zeros((n_slots,), jnp.int32).at[
-            jnp.clip(aligned_start // chunk, 0, n_slots - 1)].max(
+    n_slots_c = -(-cap_padded // chunk)           # ceil: tail remainder
+    chunk_tile_c = jax.lax.cummax(
+        jnp.zeros((n_slots_c,), jnp.int32).at[
+            jnp.clip(aligned_start // chunk, 0, n_slots_c - 1)].max(
                 jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
+    chunk_tile = chunk_tile_c[:n_slots]
+
+    # row_valid[r] = r < end(tile-of-r).  Segment starts are chunk-
+    # aligned, so the end fill is CONSTANT per chunk and chunk_tile
+    # already names the owner: ends[chunk_tile[r // chunk]] — the
+    # full-domain scatter+cummax this replaces ran two [cap_padded]
+    # passes for a value derivable from the [n_slots] table (for row r
+    # of chunk c, {t: aligned_start[t] <= r} == {t: aligned_start[t]
+    # <= c*chunk} exactly because starts are chunk multiples, and ends
+    # is non-decreasing so the cummax picks the same last tile).
+    end_chunk = ends[chunk_tile_c]                        # [n_slots_c]
+    row_valid = (
+        jax.lax.broadcasted_iota(jnp.int32, (n_slots_c, chunk), 1)
+        + jnp.arange(n_slots_c, dtype=jnp.int32)[:, None] * chunk
+        < end_chunk[:, None]).reshape(n_slots_c * chunk)[:cap_padded]
 
     # padded_gid: padded slot s of tile t takes the contiguous compact
     # rows starting at s*chunk - (aligned_start[t] - start_c[t]); built
