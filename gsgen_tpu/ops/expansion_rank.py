@@ -24,10 +24,10 @@ embarrassingly block-parallel:
 
       gid[base + 128 s + t] = lo_b + #{p_k < s} + #{p_k == s and m_k <= t}
 
-  with one broadcast-compare per window row and one 0/1 bf16 matmul on
-  the MXU for the (p == s)·(m <= t) cross term (0/1 operands make the
-  bf16 product exact; accumulation is fp32).  Block-streamed compares
-  replace serial scatter updates.
+  with one broadcast-compare per window row and one 0/1 fp32 matmul on
+  the MXU for the (p == s)·(m <= t) cross term (counts < 2^24 keep it
+  exact; Mosaic rejects the bf16 lane-contraction form).  Block-
+  streamed compares replace serial scatter updates.
 
 Zero-count Gaussians repeat their predecessor's cum value, so a window
 can in principle hold arbitrarily many values; when any block's demand
@@ -76,8 +76,8 @@ def _kernel(lo_ref, blk_ref, shift_ref, a_ref, b_ref, out_ref):
         m = q & 127
         # values below the window start are masked to BIG (p >= S:
         # counted nowhere); values past base + B - 1 have p >= S too
-        m1 = (p == s_iota).astype(jnp.bfloat16)                   # [S, 128]
-        m2 = (m <= t_iota).astype(jnp.bfloat16)                   # [128,128]
+        m1 = (p == s_iota).astype(jnp.float32)                    # [S, 128]
+        m2 = (m <= t_iota).astype(jnp.float32)                    # [128,128]
         acc = acc + jax.lax.dot_general(
             m1, m2, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                   # [S, 128]
