@@ -810,6 +810,36 @@ def _pack_rows(table, gid, valid):
     return table[gid].T                                         # [16, cap]
 
 
+def _cumsum_rows_mxu(g: jax.Array) -> jax.Array:
+    """Inclusive prefix sum over rows of [cap, C] via two-level MXU
+    triangular matmuls in the compact [C, cap] domain.
+
+    ``jnp.cumsum(axis=0)`` on a [cap, 16] array lowers to a reduce-
+    window pipeline that re-lays the lane-padded array twice (0.78 ms
+    at cap 2^18 in the round-4 trace: fusion.205 + copy.85 + reduce-
+    window.190); the transposed view is byte-identical (free) and a
+    128-wide inclusive prefix is one upper-triangular 0/1 fp32 matmul
+    (products are exact 1.0·v; the summation tree is reassociated,
+    same trade the kernels' MXU scans already make).  Group totals get
+    a tiny [C, cap/128] cumsum and broadcast back: ~0.2 ms total.
+    """
+    cap, C = g.shape
+    if cap % 128 != 0:
+        return jnp.cumsum(g, axis=0)
+    ng = cap // 128
+    g2 = g.T.reshape(C, ng, 128)                      # free: bytes match
+    tri = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+           ).astype(g.dtype)
+    intra = jax.lax.dot_general(
+        g2, tri, dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [C, ng, 128]
+    gtot = intra[..., -1]                             # [C, ng]
+    gpre_excl = jnp.cumsum(gtot, axis=1) - gtot       # [C, ng] small
+    cs = intra + gpre_excl[..., None]
+    return cs.reshape(C, cap).T
+
+
 @jax.custom_vjp
 def _pack_seg(table, gid, valid, gid_cum, vjp_gid, vjp_pos):
     return _pack_rows(table, gid, valid)
@@ -858,7 +888,7 @@ def _pack_seg_bwd(res, ddup):
         (vjp_gid.astype(jnp.int32), vjp_pos.astype(jnp.int32)),
         num_keys=1, is_stable=True)
     g = ddup.T[pos_s]                                           # [cap, 16]
-    cs = jnp.cumsum(g, axis=0)
+    cs = _cumsum_rows_mxu(g)
     bound = jnp.clip(gid_cum - 1, 0, cap - 1)
     # gid_cum == 0 (all leading runs empty) would clip bound to row 0 and
     # read a foreign prefix; zero hi there (for later empty runs hi[g] ==
