@@ -68,9 +68,13 @@ def main():
             return carry + jnp.sum(g.mean) * 1e-20
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0.0))
 
-    jax.block_until_ready(many(state.params))     # compile + warm
+    # sync via scalar FETCH, not block_until_ready: through the remote-
+    # TPU tunnel block_until_ready can return early (observed round 4:
+    # one flake timed 50 chained grad steps at 1.3 ms total); float()
+    # forces the device round trip.
+    float(many(state.params))                     # compile + warm
     t0 = time.perf_counter()
-    jax.block_until_ready(many(state.params))
+    float(many(state.params))
     dt = (time.perf_counter() - t0) / iters
 
     rays_per_s = reso * reso / dt

@@ -250,22 +250,39 @@ def bin_gaussians(
     local = d - rows[:, 0]
     pg = rows[:, 1]
     gw = pg & 1023
-    dy = local // gw
+    # dy = local // gw via fp32: variable int32 division lowers to a
+    # long scalarized sequence on TPU; (local+0.5)/gw floors exactly —
+    # local+0.5 is exact in f32 (|local| < 2^22), the correctly-rounded
+    # divide errs < q*2^-24 while the distance to the nearest integer
+    # boundary is (dx+0.5)/gw >= 0.5/1023, a >=16x margin for
+    # |local| <= 2^19 (cap <= 2^20 covers every bucket in use)
+    dy = jnp.floor(
+        (local.astype(jnp.float32) + 0.5) / gw.astype(jnp.float32)
+    ).astype(jnp.int32)
     dx = local - dy * gw
     tile = (((pg >> 20) & 1023) + dy) * n_tiles_w + ((pg >> 10) & 1023) + dx
-    depth_dup = jax.lax.bitcast_convert_type(rows[:, 2], jnp.float32)
 
-    # sort keys: (tile, depth), stable — invalid slots to sentinel tile
+    # sort keys: (tile, depth), stable — invalid slots to sentinel tile.
+    # Depth rides as its raw int32 BITS through the order-preserving
+    # float->int map (sign-flip for negatives): a float bitcast back to
+    # f32 here cost a second full pass over the lane-padded gather
+    # output (fusion.189, 0.18 ms at 100K/512² in the round-4 trace)
+    # because XLA would not fuse it into the column-unpack fusion; the
+    # integer form fuses and the sort order is bit-identical.
+    dbits = rows[:, 2]
+    depth_key = dbits ^ ((dbits >> 31) & jnp.int32(0x7FFFFFFF))
     tile_key = jnp.where(slot_valid, tile, n_tiles).astype(jnp.int32)
-    depth_key = jnp.where(slot_valid, depth_dup, jnp.inf)
+    depth_key = jnp.where(slot_valid, depth_key, jnp.int32(0x7F800000))
     tile_s, _, gid_s = jax.lax.sort(
         (tile_key, depth_key, gid_safe), num_keys=2, is_stable=True)
 
     # compact per-tile segments: ONE searchsorted over n_tiles+1 edges
     # (end_c[t] == start_c[t+1] on a sorted array — the second
     # searchsorted the old code ran was pure waste, ~1 ms at this scale)
+    from .searchsorted2 import searchsorted2
+
     tix = jnp.arange(n_tiles + 1, dtype=jnp.int32)
-    edges = jnp.searchsorted(tile_s, tix, side="left").astype(jnp.int32)
+    edges = searchsorted2(tile_s, tix, side="left")
     start_c = edges[:-1]
     end_c = edges[1:]
     seg_len = end_c - start_c

@@ -129,9 +129,10 @@ def expansion_gid(cum: jax.Array, cap: int) -> jax.Array:
     n_blocks = cap // _B
     bases = jnp.arange(n_blocks, dtype=jnp.int32) * _B
     cum32 = cum.astype(jnp.int32)
-    lo = jnp.searchsorted(cum32, bases, side="left").astype(jnp.int32)
-    hi = jnp.searchsorted(cum32, bases + (_B - 1),
-                          side="right").astype(jnp.int32)
+    from .searchsorted2 import searchsorted2
+
+    lo = searchsorted2(cum32, bases, side="left")
+    hi = searchsorted2(cum32, bases + (_B - 1), side="right")
     # the rolled window starts at the 128-row FLOOR of lo, so demand
     # must fit in W - 127 to survive the row misalignment
     fits = jnp.max(hi - lo) <= (_WR * 128 - 128)

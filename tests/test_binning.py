@@ -218,3 +218,21 @@ def test_expansion_rank_kernel_parity():
     # window straddling a WR-row block boundary (lo near a multiple of
     # 4096 values): dense 1-count gaussians push lo deep into the table
     check(np.ones(7000, np.int64))
+
+
+def test_fp32_floor_division_trick_exhaustive():
+    """dy = floor((local+0.5)/gw) in fp32 must equal local // gw for
+    every width and at every quotient boundary the binner can produce."""
+    gw = np.arange(1, 1024, dtype=np.int64)
+    # per width: locals at every boundary dy*gw and dy*gw - 1 for a
+    # spread of dy values, plus the extremes
+    dys = np.unique(np.concatenate(
+        [np.arange(0, 64), np.linspace(0, 1 << 19, 257).astype(np.int64)]))
+    loc = (dys[:, None] * gw[None, :])
+    for shift in (0, -1, 1):
+        local = np.clip(loc + shift, 0, 1 << 19)
+        want = local // gw[None, :]
+        got = np.floor(
+            (local.astype(np.float32) + np.float32(0.5))
+            / gw[None, :].astype(np.float32)).astype(np.int64)
+        np.testing.assert_array_equal(got, want)
