@@ -236,3 +236,22 @@ def test_fp32_floor_division_trick_exhaustive():
             (local.astype(np.float32) + np.float32(0.5))
             / gw[None, :].astype(np.float32)).astype(np.int64)
         np.testing.assert_array_equal(got, want)
+
+
+def test_searchsorted2_matches_stock():
+    """Two-level searchsorted == jnp.searchsorted across sides, ties,
+    out-of-range queries, and the pad (n % 256 != 0) path."""
+    from gsgen_tpu.ops.searchsorted2 import searchsorted2
+
+    rng = np.random.default_rng(3)
+    for n in (2048, 100_000, 99_999):       # divisible / padded
+        arr = jnp.sort(jnp.asarray(
+            rng.integers(0, 5000, size=n), jnp.int32))
+        q = jnp.asarray(np.concatenate(
+            [rng.integers(-10, 5010, size=777),
+             np.asarray(arr[rng.integers(0, n, size=200)])]), jnp.int32)
+        for side in ("left", "right"):
+            got = np.asarray(jax.jit(
+                lambda a, qq: searchsorted2(a, qq, side=side))(arr, q))
+            want = np.asarray(jnp.searchsorted(arr, q, side=side))
+            np.testing.assert_array_equal(got, want, err_msg=f"{n}/{side}")
