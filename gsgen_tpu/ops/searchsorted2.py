@@ -14,7 +14,11 @@ queries into the 262K sorted tile keys — spends 0.28 ms across an
 
 Exact for all inputs (including duplicates and out-of-range queries):
 the subsample bisection brackets the true rank inside the fetched
-window by construction; the compare counts the remainder.
+window by construction; the compare counts the remainder.  Role in the
+pipeline: computes the per-tile segment edges of the sorted duplicate
+table — the TPU replacement for the reference CUDA extension's
+per-key tile-range identification after its radix sort
+(gs/src/include/aabb_culling.h:235-241 in gsgen3d/gsgen).
 """
 
 from __future__ import annotations
