@@ -355,6 +355,15 @@ def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
     intrinsics [B] (reference CameraPoseProvider samples per-view focal,
     data/__init__.py:151-230).  Passing ``tile_mesh`` renders each view
     tile-sharded over that mesh's "tile" axis (multi-chip training).
+
+    Batching is ``lax.map`` (scan), NOT vmap: the TPU executes XLA ops
+    serially, so scanning views costs nothing over batching them — but
+    vmap turns the pipeline's hot row-gathers (duplicate pack,
+    expansion) into BATCHED 3-D gathers whose TPU emitter runs ~8-10x
+    slower per row than the flat 2-D row-gather form (measured
+    round 5: pack gather 21.0 ms batched vs ~2.6 ms as 4 single-view
+    gathers at 65K Gaussians / 512² batch 4 — the "batch glue" that
+    made the train step 2.5x the sum of its frames).
     """
     B = c2ws.shape[0]
     if light_pos is None:
@@ -383,5 +392,12 @@ def render_batch(params, active, c2ws, intr, cfg, bgs, fxs=None, fys=None,
     cys = ones * intr.cy if cys is None else cys
     taps = (jnp.zeros((B,) + params.mean.shape[:1] + (2,), jnp.float32)
             if mean2d_taps is None else mean2d_taps)
-    return jax.vmap(fn)(c2ws, bgs, fxs, fys, cxs, cys, taps,
-                        light_pos, light_color)
+    if tile_mesh is not None:
+        # shard_map'd body: keep vmap (the sharded render manages its
+        # own per-view collectives; scan-of-shard_map is not supported
+        # everywhere and the multichip path trades differently)
+        return jax.vmap(fn)(c2ws, bgs, fxs, fys, cxs, cys, taps,
+                            light_pos, light_color)
+    return jax.lax.map(lambda a: fn(*a),
+                       (c2ws, bgs, fxs, fys, cxs, cys, taps,
+                        light_pos, light_color))

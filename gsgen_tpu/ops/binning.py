@@ -256,6 +256,8 @@ def bin_gaussians(
     # divide errs < q*2^-24 while the distance to the nearest integer
     # boundary is (dx+0.5)/gw >= 0.5/1023, a >=16x margin for
     # |local| <= 2^19 (cap <= 2^20 covers every bucket in use)
+    assert cap <= 1 << 20, \
+        "fp32 floor-division margin requires dup cap <= 2^20"
     dy = jnp.floor(
         (local.astype(jnp.float32) + 0.5) / gw.astype(jnp.float32)
     ).astype(jnp.int32)
@@ -339,13 +341,19 @@ def bin_gaussians(
     gid_cum = gid_cum_early
     # owning tile per chunk slot: scatter each tile's id at its first
     # slot (.max resolves empty-tile collisions to the last/largest id,
-    # whose chunk-count bound then rejects the slot) + cummax fill
+    # whose chunk-count bound then rejects the slot) + cummax fill.
+    # Tiles whose aligned_start overflows the padding budget are DROPPED
+    # from the scatter (index n_slots_c -> mode="drop"), not clipped
+    # into the last slot: clipping would hand the final chunk to the
+    # overflow tile whose end bound is cap_padded, marking up to
+    # chunk-1 garbage rows valid there (ADVICE r4).
     n_slots = cap_padded // chunk
     n_slots_c = -(-cap_padded // chunk)           # ceil: tail remainder
+    slot_of_tile = jnp.where(aligned_start < cap_padded,
+                             aligned_start // chunk, n_slots_c)
     chunk_tile_c = jax.lax.cummax(
-        jnp.zeros((n_slots_c,), jnp.int32).at[
-            jnp.clip(aligned_start // chunk, 0, n_slots_c - 1)].max(
-                jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
+        jnp.zeros((n_slots_c,), jnp.int32).at[slot_of_tile].max(
+            jnp.arange(n_tiles, dtype=jnp.int32), mode="drop"))
     chunk_tile = chunk_tile_c[:n_slots]
 
     # row_valid[r] = r < end(tile-of-r).  Segment starts are chunk-

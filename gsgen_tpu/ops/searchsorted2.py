@@ -37,7 +37,7 @@ def searchsorted2(sorted_arr: jax.Array, queries: jax.Array,
     (int32 result).  Falls back to the stock bisection when the array
     is small or not granule-divisible.
     """
-    n = sorted_arr.shape[0]
+    n = n_orig = sorted_arr.shape[0]
     if n < 4 * _G:
         return jnp.searchsorted(sorted_arr, queries,
                                 side=side).astype(jnp.int32)
@@ -66,4 +66,7 @@ def searchsorted2(sorted_arr: jax.Array, queries: jax.Array,
         cnt = jnp.sum(rows < queries[..., None], axis=-1)
     else:
         cnt = jnp.sum(rows <= queries[..., None], axis=-1)
-    return (w0 * _G + cnt).astype(jnp.int32)
+    # clamp to the UNPADDED length: on the padded path a query equal to
+    # the dtype maximum with side="right" also counts pad elements
+    # (rows <= q), which would return ranks > n_orig (ADVICE r4)
+    return jnp.minimum(w0 * _G + cnt, n_orig).astype(jnp.int32)
