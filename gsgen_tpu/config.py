@@ -72,9 +72,63 @@ def parse_override(s: str):
     return key, yaml.safe_load(raw)
 
 
+def deep_merge(base: Dict, over: Dict) -> Dict:
+    """Recursive dict merge; ``over`` wins, nested dicts merge."""
+    out = dict(base)
+    for k, v in over.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def _resolve_include(name: str, rel_to: Path) -> Path:
+    """An include names another config: relative to the including file's
+    directory first, then the configs root (the including file's nearest
+    ancestor named ``configs``); ``.yaml`` is appended if missing."""
+    cand = [name] if name.endswith(".yaml") else [name + ".yaml"]
+    roots = [rel_to]
+    for p in rel_to.parents:
+        if p.name == "configs":
+            roots.append(p)
+            break
+    else:
+        roots.append(rel_to.parent if rel_to.name != "configs" else rel_to)
+    for root in roots:
+        for c in cand:
+            p = root / c
+            if p.exists():
+                return p
+    raise FileNotFoundError(
+        f"include '{name}' not found under {[str(r) for r in roots]}")
+
+
+def _load_yaml_tree(path: Path, _seen=None) -> Dict:
+    """Load one YAML file, recursively resolving its ``include:`` list
+    (the composition analog of the reference's hydra defaults list,
+    conf/base.yaml + # @package headers): includes merge in order, the
+    file's own keys override them."""
+    _seen = set() if _seen is None else _seen
+    path = path.resolve()
+    if path in _seen:
+        raise ValueError(f"include cycle through {path}")
+    _seen.add(path)
+    cfg = yaml.safe_load(path.read_text()) or {}
+    includes = cfg.pop("include", None) or []
+    if isinstance(includes, str):
+        includes = [includes]
+    merged: Dict = {}
+    for inc in includes:
+        merged = deep_merge(merged,
+                            _load_yaml_tree(_resolve_include(inc, path.parent),
+                                            _seen=set(_seen)))
+    return deep_merge(merged, cfg)
+
+
 def load_config(path: str | Path, overrides: Optional[List[str]] = None
                 ) -> Dict:
-    cfg = yaml.safe_load(Path(path).read_text()) or {}
+    cfg = _load_yaml_tree(Path(path))
     for ov in overrides or []:
         k, v = parse_override(ov)
         set_dotted(cfg, k, v)
@@ -137,6 +191,10 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     dcfg_d = rcfg_d.pop("densify", {})
     pcfg_d = rcfg_d.pop("prune", {})
     bg_d = rcfg_d.pop("background", {})
+    # the reference nests the alpha/compat penalty under renderer
+    # (conf/renderer/*.yaml "penalty:"); route it to the trainer's
+    # penalty config so presets mirror 1:1
+    renderer_penalty = rcfg_d.pop("penalty", None)
     rcfg = _from_dict(RenderConfig, rcfg_d)
     dcfg = _from_dict(DensifyConfig, dcfg_d)
     pcfg = _from_dict(PruneConfig, pcfg_d)
@@ -150,6 +208,8 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
         tr_d.setdefault("estimators", cfg["estimators"])
     tcfg = _from_dict(TrainerConfig, tr_d)
     tcfg = dataclasses.replace(tcfg, loss=_from_dict(LossConfig, loss_d))
+    if renderer_penalty is not None:
+        tcfg = dataclasses.replace(tcfg, penalty=renderer_penalty)
 
     data_d = dict(cfg.get("data", {}))
     data_d.setdefault("batch_size", tcfg.batch_size)
@@ -301,6 +361,11 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
     # original-view photometric losses (reference sit3d mode)
     extra = {}
     img_d = cfg.get("image")
+    # an image: block without a path (e.g. the data/sit3d preset's
+    # original_view_prob default) configures but does not ACTIVATE the
+    # image-to-3D mode
+    if img_d and not img_d.get("path"):
+        img_d = None
     if img_d:
         import dataclasses as _dc
         import jax

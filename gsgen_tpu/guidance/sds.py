@@ -53,6 +53,10 @@ class SDSConfig:
     grad_clip: Optional[float] = None
     rgb_as_latents: bool = False
     backbone_latent_size: int = 64   # MockUNet size knob (tests/bench)
+    # sampling scheduler for the visualization/sample paths (reference
+    # selects DDIM vs PNDM per config, stable_diffusion.py:90-107 +
+    # conf/guidance/sd_pndm.yaml): {type: ddim|pndm|ancestral, ...}
+    scheduler: Optional[dict] = None
 
 
 class SDSGuidance:
