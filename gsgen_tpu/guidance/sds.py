@@ -67,10 +67,41 @@ class SDSGuidance:
         self.cfg = cfg
         self.backbone = backbone or MockUNet(
             latent_size=cfg.backbone_latent_size)
+        if schedule is None and cfg.scheduler:
+            # guidance.scheduler carries the training betas too
+            # (conf/guidance/sd_pndm.yaml); reference rebuilds the
+            # scheduler from them (stable_diffusion.py:90-107)
+            from .samplers import resolve_scheduler
+            schedule, _ = resolve_scheduler(cfg.scheduler)
         self.schedule = schedule or scaled_linear_schedule()
         self.params = self.backbone.params
         self.frozen_params = self.backbone.params
         self.trainable_params = {}
+
+    def sample(self, params, embedding: PromptEmbedding, elevation,
+               azimuth, camera_distance, key, num_steps: int = 25):
+        """text2img from the frozen score network with the configured
+        scheduler (the reference samples through the pipeline's
+        DDIM/PNDM per conf/guidance/*.yaml; used by the trainer's
+        guidance-eval hook)."""
+        import dataclasses as _dc
+        from .samplers import cfg_sample, resolve_scheduler
+        if isinstance(params, dict) and "frozen" in params:
+            params = params["frozen"]
+        bb = self.backbone
+        emb = embedding.get_text_embedding(
+            elevation, azimuth, camera_distance,
+            self.cfg.use_view_dependent_prompt)
+        B = elevation.shape[0]
+        shape = (B, bb.latent_size, bb.latent_size, bb.latent_channels)
+        schedule, scfg = resolve_scheduler(self.cfg.scheduler, self.schedule)
+        scfg = _dc.replace(scfg, num_steps=num_steps)
+        x = cfg_sample(scfg, schedule, shape, key, self.cfg.guidance_scale,
+                       lambda lat2, t2: bb.predict_noise(
+                           params, lat2, t2, emb))
+        if hasattr(bb, "decode_latents"):
+            return bb.decode_latents(params, x)
+        return jnp.clip(x[..., :3] * 0.5 + 0.5, 0.0, 1.0)
 
     def sched_scalars(self, step: int, max_steps: int) -> Dict[str, float]:
         """Host-side t-range annealing (set_min_max_steps, :122-128)."""

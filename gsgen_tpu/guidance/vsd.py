@@ -67,6 +67,9 @@ class VSDConfig:
     lora_rank: int = 4
     lr_lora: float = 1e-4
     grad_clip: Optional[float] = None
+    # sampling scheduler for sample/sample_lora (reference uses the
+    # pipeline's DDIM; {type: ddim|pndm|ancestral, num_steps, ...})
+    scheduler: Optional[dict] = None
 
 
 class VSDGuidance:
@@ -241,37 +244,25 @@ class VSDGuidance:
 
     def _ddim_sample(self, frozen, train, text2, key, guidance_scale,
                      num_steps, cam2=None, lora: bool = False):
-        """CFG DDIM (eta=0) from pure noise; text2/cam2 are the
-        CFG-expanded [2B] conditionings (cond first, uncond second)."""
+        """CFG sampling from pure noise via the configured scheduler
+        (guidance/samplers.py — DDIM by default like the reference's
+        pipeline sampling, stable_diffusion_vsd.py:540-676); text2/cam2
+        are the CFG-expanded [2B] conditionings (cond first)."""
+        from .samplers import cfg_sample, resolve_scheduler
         bb = self.backbone
         B = text2.shape[0] // 2
         shape = (B, bb.latent_size, bb.latent_size, bb.latent_channels)
-        x = jax.random.normal(key, shape)
-        T = self.schedule.num_train_timesteps
-        ts = jnp.round(jnp.linspace(T - 1, 0, num_steps)).astype(jnp.int32)
-        ac_all = self.schedule.alphas_cumprod
+        schedule, scfg = resolve_scheduler(self.cfg.scheduler,
+                                           self.schedule)
+        scfg = dataclasses.replace(scfg, num_steps=num_steps)
 
-        def body(i, x):
-            t = ts[i]
-            lat2 = jnp.concatenate([x] * 2, axis=0)
-            t2 = jnp.full((2 * B,), t, jnp.int32)
+        def cond_uncond_eps(lat2, t2):
             if lora:
-                eps2 = self._eps_lora(frozen, train, lat2, t2, text2, cam2)
-            else:
-                eps2 = self._eps_pretrain(frozen, lat2, t2, text2)
-            if eps2.shape[-1] == 2 * x.shape[-1]:   # variance-split nets
-                eps2 = eps2[..., :x.shape[-1]]
-            e_c, e_u = eps2[:B], eps2[B:]
-            eps = e_u + guidance_scale * (e_c - e_u)
-            ac_t = ac_all[t]
-            ac_prev = jnp.where(i + 1 < num_steps,
-                                ac_all[ts[jnp.minimum(i + 1,
-                                                      num_steps - 1)]],
-                                1.0)
-            x0 = (x - jnp.sqrt(1.0 - ac_t) * eps) / jnp.sqrt(ac_t)
-            return jnp.sqrt(ac_prev) * x0 + jnp.sqrt(1.0 - ac_prev) * eps
+                return self._eps_lora(frozen, train, lat2, t2, text2, cam2)
+            return self._eps_pretrain(frozen, lat2, t2, text2)
 
-        x = jax.lax.fori_loop(0, num_steps, body, x)
+        x = cfg_sample(scfg, schedule, shape, key, guidance_scale,
+                       cond_uncond_eps)
         return bb.decode_latents(frozen, x)
 
     def sample(self, params, embedding: PromptEmbedding, elevation,

@@ -90,6 +90,11 @@ class TrainerConfig:
     reso_prewarm_lead: int = 500
     eval_image_period: int = 100       # conf/base.yaml:36-42
     eval_video_period: int = 500
+    # sample images from the guidance's own scheduler (SDS text2img /
+    # VSD sample+sample_lora, guidance/samplers.py) every N steps
+    # (0 = off) — the "what does the prior think" eval view
+    guidance_eval_period: int = 0
+    guidance_eval_steps: int = 25      # sampler steps for the eval
     eval_elevation: float = 45.0
     eval_n_frames: int = 30
     eval_camera_distance: float = 2.5
@@ -660,5 +665,30 @@ class Trainer:
                                 elevation=cfg.eval_elevation,
                                 camera_distance=cfg.eval_camera_distance)
             log.log_video(step, "eval/orbit", frames)
+        if cfg.guidance_eval_period and step % cfg.guidance_eval_period == 0 \
+                and step > 0 and hasattr(self.guidance, "sample") \
+                and self.prompt_processor is not None:
+            img = self._guidance_sample(step)
+            if img is not None:
+                log.log_image(step, "eval/guidance_sample", img)
         if cfg.save_period and step % cfg.save_period == 0 and step > 0:
             save_checkpoint(log.ckpt_dir, step, self.state)
+
+    def _guidance_sample(self, step: int):
+        """One CFG sample from the guidance's scheduler at a front-ish
+        eval pose (reference VSD sample()/sample_lora() visualization,
+        stable_diffusion_vsd.py:540-676)."""
+        import numpy as np
+        emb = self.prompt_processor()
+        key = jax.random.fold_in(jax.random.PRNGKey(self.cfg.seed + 7), step)
+        el = jnp.asarray([15.0]); az = jnp.asarray([30.0])
+        cd = jnp.asarray([2.5])
+        gp = {"frozen": getattr(self.guidance, "frozen_params",
+                                getattr(self.guidance, "params", {})),
+              "train": self.state.gp}
+        try:
+            img = self.guidance.sample(gp, emb, el, az, cd, key,
+                                       num_steps=self.cfg.guidance_eval_steps)
+        except TypeError:
+            return None
+        return np.clip(np.asarray(img[0]), 0.0, 1.0)

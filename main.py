@@ -18,6 +18,10 @@ def main(argv=None):
                     help="disable run dir / tensorboard")
     ap.add_argument("--steps", type=int, default=None,
                     help="override number of steps to run")
+    ap.add_argument("--tune-only", action="store_true",
+                    help="skip training; run only the upsample "
+                         "fine-tune on a resumed ckpt (reference "
+                         "main.py upsample_tune_only mode)")
     ap.add_argument("overrides", nargs="*",
                     help="dotted config overrides, e.g. trainer.max_steps=100")
     args = ap.parse_args(argv)
@@ -52,7 +56,48 @@ def main(argv=None):
             n = metrics.get("num_gaussians", "")
             print(f"step {step:6d} | loss {float(loss):.5f} | {n}")
 
-    trainer.fit(args.steps, callback=cb)
+    up_d = dict(cfg.get("upsample_tune") or {})
+    tune_enabled = up_d.pop("enabled", False)
+    if not (tune_enabled and args.tune_only):
+        trainer.fit(args.steps, callback=cb)
+
+    # post-training upsample fine-tune (reference
+    # tune_with_upsample_model, trainer.py:736-857; conf/upsample_tune)
+    if tune_enabled:
+        from gsgen_tpu.training.upsample import (UpsampleTuneConfig,
+                                                 tune_with_upsample)
+        import dataclasses as _dc
+        known = {f.name for f in _dc.fields(UpsampleTuneConfig)}
+        ucfg = UpsampleTuneConfig(
+            **{k: v for k, v in up_d.items() if k in known})
+        uid = cfg.get("prompt", {}).get("prompt", "run").replace(" ", "_")
+        print("upsample fine-tune...")
+        tune_with_upsample(trainer, ucfg, cache_uid=uid)
+
+    # final checkpoint + asset export into the run dir (reference
+    # utils/export.py: ply/splat/mesh)
+    if logger is not None:
+        from gsgen_tpu.io.checkpoint import save_checkpoint
+        step_final = int(trainer.state.step)
+        save_checkpoint(logger.ckpt_dir, step_final, trainer.state)
+        exp = cfg.get("export") or {}
+        types = exp.get("types", ["ply", "splat"])
+        if types:
+            from gsgen_tpu.io import export as ex
+            scene = trainer.state.scene
+            base = logger.dir / "exports"
+            base.mkdir(exist_ok=True)
+            for t in types:
+                path = base / f"scene.{t if t != 'mesh' else 'obj'}"
+                if t == "ply":
+                    ex.to_ply(scene.params, scene.active, path)
+                elif t == "splat":
+                    ex.to_splat(scene.params, scene.active, path,
+                                trainer.rcfg)
+                elif t == "mesh":
+                    ex.to_mesh(scene.params, scene.active, trainer.rcfg,
+                               path)
+            print(f"exports: {base}")
     return 0
 
 
