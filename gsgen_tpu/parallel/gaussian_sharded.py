@@ -169,6 +169,26 @@ def render_view_gauss_tile_sharded(
     return fn(params, active, c2w, bg)
 
 
+def interleave_shards(tree, D: int):
+    """Strided permutation of every leading-N array so each of D
+    contiguous shards receives every D-th row.
+
+    Scenes are FRONT-PACKED (active rows first, free capacity last);
+    contiguous sharding would give the first shards zero free slots and
+    the last shards zero active rows, starving shard-local densify
+    (its allocator only sees the shard's own free slots).  Interleaving
+    balances active/free across shards; the gaussian multiset — and
+    hence every render — is unchanged.  Apply ONCE before shard_scene.
+    """
+    def perm(x):
+        if getattr(x, "ndim", 0) < 1 or x.shape[0] % D != 0:
+            return x
+        n = x.shape[0]
+        idx = jnp.arange(n).reshape(n // D, D).T.reshape(-1)
+        return x[idx]
+    return jax.tree_util.tree_map(perm, tree)
+
+
 def shard_scene(state, mesh: Mesh, axis: str = "gauss"):
     """Place a SceneState's leading-N arrays sharded over mesh[axis].
 
@@ -200,6 +220,73 @@ def gaussian_sharded_train_step(mesh: Mesh, intr: CameraIntrinsics,
     def loss_fn(params, active, c2w, bg):
         out = render_view_gaussian_sharded(params, active, c2w, intr,
                                            cfg, bg, mesh, axis=axis)
+        return jnp.mean(out["rgb"] ** 2) + jnp.mean(out["T"])
+
+    @jax.jit
+    def step(params, active, opt, c2w, bg):
+        loss, grads = jax.value_and_grad(loss_fn)(params, active, c2w, bg)
+        lrs = jax.tree_util.tree_map(lambda _: jnp.float32(lr), params)
+        new_params, new_opt = adam_update(grads, opt, params, lrs)
+        return new_params, new_opt, loss
+
+    return step
+
+
+def _spec_tree(tree, axis: str):
+    return jax.tree_util.tree_map(
+        lambda x: P(axis) if getattr(x, "ndim", 0) >= 1 else P(), tree)
+
+
+def sharded_density_step(mesh: Mesh, dcfg, pcfg, rcfg: RenderConfig,
+                         axis: str = "gauss"):
+    """Shard-local densify + prune as one jitted resharding event.
+
+    Adaptive density control under the gaussian-sharded layout needs no
+    communication (module docstring): each shard reads only its own
+    stats and allocates into its own free slots.  Per-gaussian
+    decisions (clone/prune masks) are identical to the replicated
+    trainer's; only slot PLACEMENT is shard-local.  Event counts are
+    psum'd so the host sees global numbers.
+
+    Returns jitted ``fn(scene_state, opt, key, r2_thresh, a_thresh) ->
+    (scene', opt', info)`` with every leading-N array kept P(axis).
+    """
+    from ..models.density import densify as _densify, prune as _prune
+
+    def body(state, opt, key, r2, at):
+        info = {}
+        if dcfg.enabled:
+            state, opt, dinfo = _densify(state, opt, dcfg, rcfg, key)
+            info.update(dinfo)
+        if pcfg.enabled:
+            state, opt, pinfo = _prune(state, opt, pcfg, rcfg, r2, at)
+            info.update(pinfo)
+        info = {k: jax.lax.psum(v, axis) for k, v in info.items()}
+        return state, opt, info
+
+    def build(state, opt):
+        return jax.jit(shard_map(
+            body, mesh=mesh,
+            in_specs=(_spec_tree(state, axis), _spec_tree(opt, axis),
+                      P(), P(), P()),
+            out_specs=(_spec_tree(state, axis), _spec_tree(opt, axis), P()),
+            check_rep=False))
+    return build
+
+
+def gauss_tile_train_step(mesh: Mesh, intr: CameraIntrinsics,
+                          cfg: RenderConfig, gauss_axis: str = "gauss",
+                          tile_axis: str = "tile", lr: float = 1e-2):
+    """Train step over the gauss x tile 2-D mesh: params/moments sharded
+    over ``gauss`` (replicated over ``tile``), image rows over both
+    axes; the grad transpose reduce-scatters over gauss + psums over
+    tile (render_view_gauss_tile_sharded docstring)."""
+    from ..training.optimizer import adam_update
+
+    def loss_fn(params, active, c2w, bg):
+        out = render_view_gauss_tile_sharded(
+            params, active, c2w, intr, cfg, bg, mesh,
+            gauss_axis=gauss_axis, tile_axis=tile_axis)
         return jnp.mean(out["rgb"] ** 2) + jnp.mean(out["T"])
 
     @jax.jit

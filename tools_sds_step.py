@@ -125,6 +125,24 @@ def main():
         a = e.get("args", {})
         if name not in src:
             src[name] = (a.get("tf_op", "") + " " + a.get("source", ""))[:90]
+    # stage grouping by tf_op path
+    groups = defaultdict(float)
+    for name, d in dur.items():
+        s = src.get(name, "")
+        if "AutoencoderKL" in s:
+            g = ("vae_bwd" if "transpose" in s else "vae_fwd")
+        elif "UNet2DConditionModel" in s or "flash_attention" in name:
+            g = "unet"
+        elif ("rasterize" in s or "binning" in s or "scene.py" in s
+              or "projection" in s or "pallas" in s):
+            g = "render"
+        elif name.startswith("jit_train_step"):
+            continue                      # parent envelope, not self time
+        else:
+            g = "other"
+        groups[g] += d
+    print(json.dumps({k: round(v / 1e3 / 5, 1)
+                      for k, v in sorted(groups.items())}), flush=True)
     top = sorted(dur.items(), key=lambda kv: -kv[1])[:50]
     for name, d in top:
         print(f"{d/1e3/5:8.3f} ms x{cnt[name]//5:3d}  {name[:40]:40s} "
