@@ -376,6 +376,14 @@ def build_trainer(cfg: Dict, logger=None) -> Trainer:
         from .training.sit3d import ImageTarget, image_initialize
         import imageio.v2 as imageio
         rgba = np.asarray(imageio.imread(img_d["path"])).astype(np.float32) / 255.0
+        if rgba.shape[-1] != 4 and img_d.get("auto_matte", True):
+            # the reference expects inputs pre-matted by rembg
+            # (utils/background_removal.py); for RGB inputs the in-repo
+            # classical matte estimates alpha (utils/matting.py) —
+            # disable with image.auto_matte=false to treat all pixels
+            # as foreground
+            from .utils.matting import ensure_rgba
+            rgba = ensure_rgba(rgba)
         rgb = rgba[..., :3]
         mask = (rgba[..., 3] > 0.5 if rgba.shape[-1] == 4
                 else np.ones(rgba.shape[:2], bool))

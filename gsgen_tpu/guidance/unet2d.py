@@ -46,6 +46,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import GroupNorm
+
 
 def get_timestep_embedding(timesteps: jax.Array, dim: int,
                            flip_sin_to_cos: bool = True,
@@ -266,7 +268,7 @@ class Transformer2DModel(nn.Module):
 
     def setup(self):
         inner = self.heads * self.head_dim
-        self.norm = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        self.norm = GroupNorm(num_groups=32, epsilon=1e-6)
         if self.use_linear_projection:
             self.proj_in = nn.Dense(inner)
             self.proj_out = nn.Dense(self.in_channels)
@@ -302,11 +304,11 @@ class ResnetBlock2D(nn.Module):
     groups: int = 32
 
     def setup(self):
-        self.norm1 = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps)
+        self.norm1 = GroupNorm(num_groups=self.groups, epsilon=self.eps)
         self.conv1 = nn.Conv(self.out_channels, (3, 3), padding=1)
         if self.use_temb:
             self.time_emb_proj = nn.Dense(self.out_channels)
-        self.norm2 = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps)
+        self.norm2 = GroupNorm(num_groups=self.groups, epsilon=self.eps)
         self.conv2 = nn.Conv(self.out_channels, (3, 3), padding=1)
 
     def __call__(self, x, temb=None):
@@ -639,7 +641,7 @@ class UNet2DConditionModel(nn.Module):
             prev = ch
         self.up_blocks = up
 
-        self.conv_norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-5)
+        self.conv_norm_out = GroupNorm(num_groups=32, epsilon=1e-5)
         self.conv_out = nn.Conv(c.out_channels, (3, 3), padding=1)
 
     def __call__(self, sample, timesteps, encoder_hidden_states,

@@ -30,6 +30,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from .norm import GroupNorm
 from .unet2d import Downsample2D, Upsample2D, make_resnet
 
 
@@ -40,7 +41,7 @@ class VAEAttention(nn.Module):
     channels: int
 
     def setup(self):
-        self.group_norm = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        self.group_norm = GroupNorm(num_groups=32, epsilon=1e-6)
         self.to_q = nn.Dense(self.channels)
         self.to_k = nn.Dense(self.channels)
         self.to_v = nn.Dense(self.channels)
@@ -148,7 +149,7 @@ class Encoder(nn.Module):
                 in_ch, ch, c.layers_per_block, add_downsample=not last))
         self.down_blocks = blocks
         self.mid_block = VAEMidBlock(c.block_out_channels[-1])
-        self.conv_norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        self.conv_norm_out = GroupNorm(num_groups=32, epsilon=1e-6)
         self.conv_out = nn.Conv(2 * c.latent_channels, (3, 3), padding=1)
 
     def __call__(self, x):
@@ -177,7 +178,7 @@ class Decoder(nn.Module):
             blocks.append(UpDecoderBlock2D(
                 in_ch, ch, c.layers_per_block + 1, add_upsample=not last))
         self.up_blocks = blocks
-        self.conv_norm_out = nn.GroupNorm(num_groups=32, epsilon=1e-6)
+        self.conv_norm_out = GroupNorm(num_groups=32, epsilon=1e-6)
         self.conv_out = nn.Conv(3, (3, 3), padding=1)
 
     def __call__(self, z):
