@@ -70,11 +70,28 @@ refresh();
 
 
 class SceneViewer:
+    """Multi-client by construction: camera state lives in each
+    browser's JS (every request carries its full pose), the HTTP layer
+    is a ThreadingHTTPServer, and the one shared resource — the device
+    — is guarded by ``_render_lock`` so concurrent clients serialize
+    cleanly instead of interleaving dispatches (the viser viewer's
+    per-client render loop, utils/viewer/viser_viewer.py:132-171,
+    serializes on the GPU the same way)."""
+
     def __init__(self, state: SceneState, rcfg: RenderConfig,
                  port: int = 8090):
         self.state = state
         self.rcfg = rcfg
         self.port = port
+        self.step = None
+        self._render_lock = threading.Lock()
+
+    def update_state(self, state: SceneState, step=None):
+        """Attach live training state (called between trainer steps —
+        clients see the scene evolve, the viser pattern)."""
+        self.state = state
+        if step is not None:
+            self.step = int(step)
 
     def render(self, azimuth, elevation, distance, reso,
                fov=53.13, near=0.01, far=1000.0,
@@ -94,8 +111,9 @@ class SceneViewer:
         intr = CameraIntrinsics.from_fov(
             math.radians(float(fov)), 1.0, int(reso),
             near=float(near), far=float(far))
-        out = render_view(self.state.params, self.state.active, c2w, intr,
-                          self.rcfg, jnp.zeros((3,)))
+        with self._render_lock:
+            out = render_view(self.state.params, self.state.active, c2w,
+                              intr, self.rcfg, jnp.zeros((3,)))
         img = np.clip(np.asarray(out["rgb"]), 0, 1)
         buf = io.BytesIO()
         Image.fromarray((img * 255).astype(np.uint8)).save(buf, "JPEG",
@@ -130,6 +148,14 @@ class SceneViewer:
                                 float(q.get("cz", 0))))
                     self.send_response(200)
                     self.send_header("Content-Type", "image/jpeg")
+                elif u.path == "/stats":
+                    import numpy as _np
+                    body = json.dumps({
+                        "num_gaussians": int(_np.asarray(
+                            viewer.state.active).sum()),
+                        "step": viewer.step}).encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
                 else:
                     self.send_response(404)
                     body = b""

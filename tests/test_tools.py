@@ -72,6 +72,22 @@ def test_viewer_http_roundtrip():
             "http://localhost:18491/render?azimuth=0&elevation=20"
             "&distance=2.5&reso=64", timeout=60).read()
         assert img[:2] == b"\xff\xd8"
+        # multi-client: concurrent renders from several threads
+        # serialize on the device lock and all succeed
+        import concurrent.futures as cf
+        import json as _json
+        def fetch(az):
+            return urllib.request.urlopen(
+                f"http://localhost:18491/render?azimuth={az}"
+                "&elevation=10&distance=2.5&reso=64", timeout=60).read()
+        with cf.ThreadPoolExecutor(4) as ex:
+            outs = list(ex.map(fetch, [0, 45, 90, 135]))
+        assert all(o[:2] == b"\xff\xd8" for o in outs)
+        # live-training attachment + stats endpoint
+        v.update_state(state, step=123)
+        stats = _json.loads(urllib.request.urlopen(
+            "http://localhost:18491/stats", timeout=30).read())
+        assert stats["step"] == 123 and stats["num_gaussians"] == 32
     finally:
         v.httpd.shutdown()
 
