@@ -95,6 +95,9 @@ def _resolve_include(name: str, rel_to: Path) -> Path:
             break
     else:
         roots.append(rel_to.parent if rel_to.name != "configs" else rel_to)
+    # user configs living OUTSIDE the tree (e.g. generated sweep/test
+    # yamls) still compose against the working directory's library
+    roots.append(Path.cwd() / "configs")
     for root in roots:
         for c in cand:
             p = root / c

@@ -54,6 +54,8 @@ _SLOW_MODULES = {
     "test_sit3d",            # image-to-3D training loops
     "test_unet_oracle",      # independent torch UNet implementation
     "test_shap_e",           # shap-e torch oracles + latent sampling
+    "test_quality_gate",     # thresholded 150-step recon gate
+    "test_main_journey",     # full main.py journey (compile-heavy)
 }
 _SLOW_TESTS = {
     "test_pbr_render_and_grads",
