@@ -612,9 +612,16 @@ class Trainer:
 
     def fit(self, n_steps: Optional[int] = None,
             callback: Optional[Callable[[int, Dict], None]] = None):
-        """The train loop (trainer.py:576-621)."""
-        n = n_steps or self.cfg.max_steps
+        """The train loop (trainer.py:576-621).
+
+        ``n_steps`` runs that many MORE steps; default runs to
+        ``cfg.max_steps`` TOTAL — a resumed trainer continues to the
+        trajectory end, not for another full trajectory (reference
+        train_loop iterates range(self.step, cfg.max_steps)).
+        """
         start = int(self.state.step)
+        n = (n_steps if n_steps is not None
+             else max(self.cfg.max_steps - start, 0))
         eval_rng = np.random.default_rng(self.cfg.seed + 1)
         prof = self.cfg.profile_steps
         for step in range(start, start + n):

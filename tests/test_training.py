@@ -265,3 +265,25 @@ def test_profiling_trace_and_field_stats(tmp_path):
              open(logger.dir / "scalars.jsonl").read().splitlines()]
     assert any("fields/mean/rms" in rec for rec in lines)
     assert (logger.dir / "profile").exists()
+
+
+def test_fit_resumed_stops_at_max_steps_total():
+    """fit() on a resumed trainer continues to cfg.max_steps TOTAL
+    (reference train_loop: range(self.step, cfg.max_steps)), not for
+    another full trajectory; fit(n) still means n MORE steps."""
+    tr = Trainer(
+        cfg=TrainerConfig(max_steps=7, batch_size=1),
+        rcfg=RCFG,
+        init_cfg=InitConfig(num_points=32, capacity=32, svec_val=0.05),
+        bg_cfg=BackgroundConfig(type="fixed"),
+        data_cfg=CameraSamplerConfig(batch_size=1, max_steps=7, reso=(16,)),
+        guidance=MockGuidance(),
+        dcfg=DensifyConfig(enabled=False), pcfg=PruneConfig(enabled=False))
+    tr.fit(3)
+    assert int(tr.state.step) == 3
+    tr.fit()                      # to max_steps total
+    assert int(tr.state.step) == 7
+    tr.fit()                      # already there: no-op
+    assert int(tr.state.step) == 7
+    tr.fit(2)                     # explicit n always runs n more
+    assert int(tr.state.step) == 9
