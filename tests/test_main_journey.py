@@ -12,7 +12,15 @@ import numpy as np
 
 
 def test_main_full_journey(tmp_path, monkeypatch):
-    import main as main_mod
+    # xdist workers don't put the repo root on sys.path: load main.py
+    # by explicit path
+    import importlib.util
+    import pathlib
+    root = pathlib.Path(__file__).parents[1]
+    spec = importlib.util.spec_from_file_location("gsgen_main",
+                                                  root / "main.py")
+    main_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(main_mod)
 
     cfg = tmp_path / "journey.yaml"
     cfg.write_text("""
