@@ -41,7 +41,12 @@ def main():
     # chunk 128 is the Mosaic lane-alignment floor (last-dim DMA slices must
     # be 128-aligned) and measured fastest: 29.8 ms/frame vs 44.4 ms at
     # (2^19, 256).
-    rcfg = RenderConfig(dup_cap=1 << 18, chunk=128)
+    # BENCH_FAST_FWD=1: MXU forward cumprod (~4e-3 image error, exact
+    # grads unchanged; training-neutral — quality gate reads 30.12 dB vs
+    # 29.75 with the exact scan, BASELINE.md round 5)
+    rcfg = RenderConfig(dup_cap=1 << 18, chunk=128,
+                        fast_fwd_cumprod=bool(
+                            int(os.environ.get("BENCH_FAST_FWD", "0"))))
     intr = CameraIntrinsics.from_reso(reso)
 
     @jax.jit
